@@ -1,0 +1,141 @@
+"""Static-shape padded subgraph batches — the core TPU design decision.
+
+The reference batches subgraphs as a disjoint union with dynamic shapes
+(``dgl.batch``, reference ``gcc/datasets/data_util.py:26-41``). Dynamic
+shapes force recompilation or host-side graph objects; instead we fix a
+small set of (N_max, E_max) *buckets* and pad every batch into one of
+them, so XLA compiles one program per bucket and every step is a single
+device launch.
+
+Layout: the B subgraphs live in a flat node space of size ``B * N_max``
+(graph ``b``'s node ``i`` at flat index ``b * N_max + i``). Edges are a
+flat padded list of (src, dst) pairs into that space with a float weight
+that is 1.0 for real edges and 0.0 for padding — so scatter/segment
+aggregation of padding contributes exactly zero and no boolean masking is
+needed in the hot loop. Everything the reference stores as DGL ``ndata``
+(positional embedding, degree, seed flag) is *derived on device* from
+this batch (see ``gcc_tpu/features``): the host only ships integer edge
+lists, which also minimizes host→device transfer bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedSubgraphBatch:
+    """A batch of B subgraphs padded to static (N_max, E_max).
+
+    Attributes:
+      edges_src: (B * E_max,) int32 — flat source node index per edge.
+      edges_dst: (B * E_max,) int32 — flat destination node index.
+      edge_weight: (B * E_max,) float32 — 1.0 real / 0.0 padding.
+      node_mask: (B, N_max) float32 — 1.0 real node / 0.0 padding.
+      seed_flag: (B, N_max) float32 — one-hot seed indicator (the
+        reference's ``ndata["seed"]``, data_util.py:232-239).
+      n_nodes: (B,) int32 — real node count per subgraph.
+    """
+
+    edges_src: jax.Array
+    edges_dst: jax.Array
+    edge_weight: jax.Array
+    node_mask: jax.Array
+    seed_flag: jax.Array
+    n_nodes: jax.Array
+
+    @property
+    def batch_size(self) -> int:
+        return self.node_mask.shape[0]
+
+    @property
+    def n_max(self) -> int:
+        return self.node_mask.shape[1]
+
+    @property
+    def e_max(self) -> int:
+        return self.edges_src.shape[0] // self.node_mask.shape[0]
+
+
+# Bucket ladders. Powers of two keep the number of compiled programs small
+# while bounding padding waste at <2x.
+NODE_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+EDGE_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+
+def pick_bucket(max_nodes: int, max_edges_per_graph: int) -> tuple[int, int]:
+    """Smallest (N_max, E_max) bucket that fits the given per-graph sizes."""
+    n_max = next((b for b in NODE_BUCKETS if b >= max_nodes), None)
+    e_max = next((b for b in EDGE_BUCKETS if b >= max(1, max_edges_per_graph)), None)
+    if n_max is None or e_max is None:
+        raise ValueError(
+            f"subgraph too large for bucket ladder: nodes={max_nodes}, "
+            f"edges={max_edges_per_graph}"
+        )
+    return n_max, e_max
+
+
+@dataclasses.dataclass(frozen=True)
+class Subgraph:
+    """Host-side subgraph: relabeled edge list + node count + seed position."""
+
+    src: np.ndarray  # (E,) int32, local ids
+    dst: np.ndarray  # (E,) int32, local ids
+    num_nodes: int
+    seed: int = 0  # local id of the walk seed (0 except entire-graph mode)
+
+
+def batch_subgraphs(
+    graphs: Sequence[Subgraph],
+    n_max: int | None = None,
+    e_max: int | None = None,
+) -> PaddedSubgraphBatch:
+    """Pack host subgraphs into one padded batch (numpy; device put by caller).
+
+    Padding edges are self-loops on each graph's node 0 with weight 0, so
+    they never contribute to aggregation and always index valid memory.
+    """
+    bsz = len(graphs)
+    if n_max is None or e_max is None:
+        auto_n, auto_e = pick_bucket(
+            max(g.num_nodes for g in graphs), max(len(g.src) for g in graphs)
+        )
+        n_max = n_max or auto_n
+        e_max = e_max or auto_e
+
+    edges_src = np.zeros((bsz, e_max), dtype=np.int32)
+    edges_dst = np.zeros((bsz, e_max), dtype=np.int32)
+    edge_weight = np.zeros((bsz, e_max), dtype=np.float32)
+    node_mask = np.zeros((bsz, n_max), dtype=np.float32)
+    seed_flag = np.zeros((bsz, n_max), dtype=np.float32)
+    n_nodes = np.zeros((bsz,), dtype=np.int32)
+
+    for b, g in enumerate(graphs):
+        n, e = g.num_nodes, len(g.src)
+        if n > n_max or e > e_max:
+            raise ValueError(f"subgraph {b} ({n} nodes / {e} edges) exceeds bucket "
+                             f"({n_max}, {e_max})")
+        base = b * n_max
+        edges_src[b, :e] = g.src + base
+        edges_dst[b, :e] = g.dst + base
+        # Padding edges already point at `base + 0` (zeros + base below).
+        edges_src[b, e:] = base
+        edges_dst[b, e:] = base
+        edge_weight[b, :e] = 1.0
+        node_mask[b, :n] = 1.0
+        seed_flag[b, g.seed] = 1.0
+        n_nodes[b] = n
+
+    return PaddedSubgraphBatch(
+        edges_src=edges_src.reshape(-1),
+        edges_dst=edges_dst.reshape(-1),
+        edge_weight=edge_weight.reshape(-1),
+        node_mask=node_mask,
+        seed_flag=seed_flag,
+        n_nodes=n_nodes,
+    )

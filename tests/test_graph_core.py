@@ -1,0 +1,96 @@
+"""Unit tests for CSRGraph and PaddedSubgraphBatch."""
+
+import numpy as np
+import pytest
+
+from gcc_tpu.config import TrainConfig
+from gcc_tpu.graph.batch import Subgraph, batch_subgraphs, pick_bucket
+from gcc_tpu.graph.csr import CSRGraph, largest_connected_component
+
+
+def toy_graph():
+    # 0-1, 0-2, 1-2, 3-4 (undirected), node 5 isolated.
+    src = [0, 0, 1, 3]
+    dst = [1, 2, 2, 4]
+    return CSRGraph.from_edges(src, dst, num_nodes=6, symmetrize=True)
+
+
+def test_csr_basics():
+    g = toy_graph()
+    assert g.num_nodes == 6
+    assert g.num_edges == 8
+    np.testing.assert_array_equal(g.out_degrees(), [2, 2, 2, 1, 1, 0])
+    np.testing.assert_array_equal(g.in_degrees(), g.out_degrees())
+    assert set(g.neighbors(0)) == {1, 2}
+    assert set(g.neighbors(4)) == {3}
+
+
+def test_csr_multi_edges_kept():
+    g = CSRGraph.from_edges([0, 0, 0], [1, 1, 2], num_nodes=3)
+    assert g.num_edges == 3
+    assert list(g.neighbors(0)).count(1) == 2
+
+
+def test_induced_subgraph_relabels_and_preserves_order():
+    g = toy_graph()
+    sub_src, sub_dst = g.induced_subgraph(np.array([2, 0, 1]))
+    # node 2 -> 0, node 0 -> 1, node 1 -> 2; all 6 directed edges kept.
+    edges = set(zip(sub_src.tolist(), sub_dst.tolist()))
+    assert edges == {(1, 2), (1, 0), (2, 0), (2, 1), (0, 1), (0, 2)}
+
+
+def test_induced_subgraph_excludes_outside():
+    g = toy_graph()
+    sub_src, sub_dst = g.induced_subgraph(np.array([0, 3]))
+    assert len(sub_src) == 0  # 0 and 3 are not adjacent
+
+
+def test_largest_cc():
+    g = toy_graph()
+    cc = largest_connected_component(g)
+    assert set(cc.tolist()) == {0, 1, 2}
+
+
+def test_pick_bucket():
+    assert pick_bucket(33, 100) == (64, 128)
+    assert pick_bucket(32, 64) == (32, 64)
+    with pytest.raises(ValueError):
+        pick_bucket(10**9, 1)
+
+
+def test_batch_subgraphs_layout():
+    g1 = Subgraph(src=np.array([0, 1], np.int32), dst=np.array([1, 0], np.int32),
+                  num_nodes=2)
+    g2 = Subgraph(src=np.array([0, 1, 2], np.int32),
+                  dst=np.array([1, 2, 0], np.int32), num_nodes=3, seed=2)
+    batch = batch_subgraphs([g1, g2], n_max=4, e_max=4)
+    assert batch.batch_size == 2 and batch.n_max == 4 and batch.e_max == 4
+    es = np.asarray(batch.edges_src).reshape(2, 4)
+    ed = np.asarray(batch.edges_dst).reshape(2, 4)
+    ew = np.asarray(batch.edge_weight).reshape(2, 4)
+    # Graph 1 at flat offset 0, graph 2 at offset 4.
+    np.testing.assert_array_equal(es[0], [0, 1, 0, 0])
+    np.testing.assert_array_equal(ed[0], [1, 0, 0, 0])
+    np.testing.assert_array_equal(es[1], [4, 5, 6, 4])
+    np.testing.assert_array_equal(ed[1], [5, 6, 4, 4])
+    np.testing.assert_array_equal(ew[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(batch.node_mask)[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(batch.seed_flag)[1], [0, 0, 1, 0])
+    np.testing.assert_array_equal(np.asarray(batch.n_nodes), [2, 3])
+
+
+def test_batch_is_pytree():
+    import jax
+
+    g = Subgraph(src=np.array([0], np.int32), dst=np.array([0], np.int32),
+                 num_nodes=1)
+    batch = batch_subgraphs([g], n_max=4, e_max=4)
+    leaves = jax.tree_util.tree_leaves(batch)
+    assert len(leaves) == 6
+
+
+def test_config_roundtrip():
+    cfg = TrainConfig(batch_size=64)
+    cfg2 = TrainConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert "bsz_64" in cfg.run_name()
