@@ -1,0 +1,290 @@
+// gcc_tpu native host sampler.
+//
+// TPU-native equivalent of the DGL 0.4 C++ sampling kernels the reference
+// depends on (SURVEY.md §2b N1-N4):
+//   N1 random-walk-with-restart (reference call sites
+//      gcc/datasets/graph_dataset.py:125-130,255-260)
+//   N2 k-hop neighbor sampling  (graph_dataset.py:131-162, aug="ns")
+//   N3 simple random walk       (graph_dataset.py:104-110)
+//   N4 induced subgraph extraction + compact relabel, seed at index 0
+//      (gcc/datasets/data_util.py:218-231)
+//
+// The fused entry point `gcc_sample_subgraphs` runs, per seed: the RWR (or
+// neighbor-sampling) trace accumulation, unique-visited-set construction with
+// the seed forced to local id 0, and induced-edge extraction — emitting
+// relabeled edge lists ready for the padded-batch packer. Everything is
+// deterministic given (rng_seed, seed index): each seed gets an independent
+// splitmix64-seeded xoshiro256** stream, so multi-process samplers partition
+// work without RNG coupling and every sample is reproducible.
+//
+// Behavior contract mirrored from the reference (not translated code):
+//  * A "trace" starts at the seed and repeatedly hops to a uniformly random
+//    out-neighbor; after every hop the walk restarts (trace ends) with
+//    probability `restart_prob`. Traces are generated until the total number
+//    of visited nodes (counted with multiplicity, seed excluded) reaches the
+//    per-seed budget — DGL's `max_nodes_per_seed` visit threshold.
+//  * The subgraph node set is the unique visited nodes with the seed first.
+//  * Induced edges keep multi-edges (multiplicity matters for GIN sums).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// --- RNG: splitmix64 (seeding) + xoshiro256** (stream) -----------------------
+
+static inline uint64_t splitmix64(uint64_t& x) {
+  uint64_t z = (x += 0x9E3779B97F4A7C15ULL);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+struct Rng {
+  uint64_t s[4];
+  explicit Rng(uint64_t seed) {
+    for (int i = 0; i < 4; ++i) s[i] = splitmix64(seed);
+  }
+  static inline uint64_t rotl(uint64_t x, int k) {
+    return (x << k) | (x >> (64 - k));
+  }
+  inline uint64_t next() {
+    const uint64_t result = rotl(s[1] * 5, 7) * 9;
+    const uint64_t t = s[1] << 17;
+    s[2] ^= s[0];
+    s[3] ^= s[1];
+    s[1] ^= s[2];
+    s[0] ^= s[3];
+    s[2] ^= t;
+    s[3] = rotl(s[3], 45);
+    return result;
+  }
+  // Uniform in [0, n) — Lemire's multiply-shift (unbiased enough here).
+  inline uint64_t bounded(uint64_t n) {
+    return (uint64_t)(((__uint128_t)next() * (__uint128_t)n) >> 64);
+  }
+  inline double uniform() {
+    return (next() >> 11) * 0x1.0p-53;
+  }
+};
+
+struct Csr {
+  const int64_t* indptr;
+  const int32_t* indices;
+  int64_t num_nodes;
+  inline int64_t degree(int64_t u) const { return indptr[u + 1] - indptr[u]; }
+  inline int32_t random_neighbor(int64_t u, Rng& rng) const {
+    const int64_t d = degree(u);
+    return indices[indptr[u] + (int64_t)rng.bounded((uint64_t)d)];
+  }
+};
+
+// Visited-set accumulator with O(1) dedup via a per-thread epoch-stamped map.
+struct VisitSet {
+  std::vector<int64_t> stamp;   // stamp[u] == epoch  <=>  u in set
+  std::vector<int32_t> local;   // stamp value -> local id? no: parallel map
+  std::vector<int32_t> nodes;   // insertion order (global ids)
+  std::vector<int32_t> local_id;  // local_id[u] valid iff stamp[u] == epoch
+  int64_t epoch = 0;
+
+  void ensure(int64_t n) {
+    if ((int64_t)stamp.size() < n) {
+      stamp.assign(n, -1);
+      local_id.assign(n, 0);
+    }
+  }
+  void reset() {
+    ++epoch;
+    nodes.clear();
+  }
+  // Returns local id, inserting if new.
+  inline int32_t insert(int32_t u) {
+    if (stamp[u] != epoch) {
+      stamp[u] = epoch;
+      local_id[u] = (int32_t)nodes.size();
+      nodes.push_back(u);
+    }
+    return local_id[u];
+  }
+  inline bool contains(int32_t u) const { return stamp[u] == epoch; }
+  inline int32_t id(int32_t u) const { return local_id[u]; }
+};
+
+// Accumulate an RWR trace's visited set (budget = visit threshold).
+void rwr_visit(const Csr& g, int64_t seed, double restart_prob, int64_t budget,
+               int64_t node_cap, Rng& rng, VisitSet& set) {
+  set.insert((int32_t)seed);
+  if (g.degree(seed) == 0) return;  // isolated seed: singleton subgraph
+  int64_t visits = 0;
+  while (visits < budget && (int64_t)set.nodes.size() < node_cap) {
+    int64_t cur = seed;
+    // One trace: hop until restart fires.
+    while (true) {
+      if (g.degree(cur) == 0) break;
+      cur = g.random_neighbor(cur, rng);
+      set.insert((int32_t)cur);
+      ++visits;
+      if (visits >= budget || (int64_t)set.nodes.size() >= node_cap) break;
+      if (rng.uniform() < restart_prob) break;
+    }
+  }
+}
+
+// Layered neighbor-sampling visit (aug="ns"): `hops` layers, each node in the
+// frontier contributes up to `expand` sampled neighbors (all, if degree <=
+// expand; distinct picks otherwise).
+void ns_visit(const Csr& g, int64_t seed, int64_t expand, int64_t hops,
+              int64_t node_cap, Rng& rng, VisitSet& set) {
+  set.insert((int32_t)seed);
+  std::vector<int32_t> frontier{(int32_t)seed}, next;
+  for (int64_t h = 0; h < hops && !frontier.empty(); ++h) {
+    next.clear();
+    for (int32_t u : frontier) {
+      const int64_t d = g.degree(u);
+      if (d == 0) continue;
+      if (d <= expand) {
+        for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+          int32_t v = g.indices[j];
+          if ((int64_t)set.nodes.size() >= node_cap && !set.contains(v)) continue;
+          set.insert(v);
+          next.push_back(v);
+        }
+      } else {
+        for (int64_t k = 0; k < expand; ++k) {
+          int32_t v = g.random_neighbor(u, rng);
+          if ((int64_t)set.nodes.size() >= node_cap && !set.contains(v)) continue;
+          set.insert(v);
+          next.push_back(v);
+        }
+      }
+    }
+    frontier.swap(next);
+  }
+}
+
+// Extract induced edges among the visit set, relabeled to local ids.
+// Returns total edge count (may exceed cap; only cap edges are written).
+int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
+                      int32_t* out_dst, int64_t e_cap) {
+  int64_t count = 0;
+  for (int32_t lu = 0; lu < (int32_t)set.nodes.size(); ++lu) {
+    const int32_t u = set.nodes[lu];
+    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+      const int32_t v = g.indices[j];
+      if (!set.contains(v)) continue;
+      if (count < e_cap) {
+        out_src[count] = lu;
+        out_dst[count] = set.id(v);
+      }
+      ++count;
+    }
+  }
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused per-seed pipeline: trace -> unique nodes (seed first) -> induced
+// relabeled edges. All outputs are padded to (num_seeds, cap) row-major.
+//
+//   aug: 0 = random walk with restart, 1 = layered neighbor sampling
+//   budgets: per-seed visit threshold (aug=0) — callers compute the
+//            reference's max(rw_hops, deg^0.75 * e/(e-1)/p) formula host-side
+//   expand/hops: aug=1 parameters
+//   out_nodes: global node ids per subgraph (row b, first out_n[b] valid)
+//   out_src/out_dst: local-id edge list (first out_e[b] valid)
+//   out_e[b] is clamped to e_cap; out_e_full[b] carries the true count so the
+//   caller can detect truncation and retry with a bigger bucket.
+void gcc_sample_subgraphs(
+    const int64_t* indptr, const int32_t* indices, int64_t num_nodes,
+    const int64_t* seeds, int64_t num_seeds, const int64_t* budgets,
+    double restart_prob, int32_t aug, int64_t expand, int64_t hops,
+    uint64_t rng_seed, const int64_t* sample_ids,  // per-seed stream ids
+    int64_t node_cap, int64_t e_cap, int32_t n_threads,
+    int32_t* out_nodes, int32_t* out_n, int32_t* out_src, int32_t* out_dst,
+    int32_t* out_e, int64_t* out_e_full) {
+  const Csr g{indptr, indices, num_nodes};
+  if (n_threads < 1) n_threads = 1;
+
+  std::atomic<int64_t> next_seed{0};
+  auto worker = [&]() {
+    VisitSet set;
+    set.ensure(num_nodes);
+    while (true) {
+      const int64_t i = next_seed.fetch_add(1);
+      if (i >= num_seeds) break;
+      uint64_t stream = rng_seed ^ (0xD1B54A32D192ED03ULL * (uint64_t)(sample_ids ? sample_ids[i] : i));
+      Rng rng(stream);
+      set.reset();
+      const int64_t seed = seeds[i];
+      if (aug == 0) {
+        rwr_visit(g, seed, restart_prob, budgets[i], node_cap, rng, set);
+      } else {
+        ns_visit(g, seed, expand, hops, node_cap, rng, set);
+      }
+      const int64_t n = (int64_t)set.nodes.size();
+      out_n[i] = (int32_t)n;
+      std::memcpy(out_nodes + i * node_cap, set.nodes.data(),
+                  n * sizeof(int32_t));
+      const int64_t e_full =
+          induced_edges(g, set, out_src + i * e_cap, out_dst + i * e_cap, e_cap);
+      out_e[i] = (int32_t)(e_full < e_cap ? e_full : e_cap);
+      out_e_full[i] = e_full;
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+}
+
+// Simple random walk: final node after `num_hops` uniform hops (the
+// reference's step_dist key-seed selection, graph_dataset.py:104-110).
+void gcc_random_walk(const int64_t* indptr, const int32_t* indices,
+                     int64_t num_nodes, const int64_t* seeds, int64_t num_seeds,
+                     int64_t num_hops, uint64_t rng_seed,
+                     const int64_t* sample_ids, int64_t* out_final) {
+  const Csr g{indptr, indices, num_nodes};
+  for (int64_t i = 0; i < num_seeds; ++i) {
+    uint64_t stream = rng_seed ^ (0xA24BAED4963EE407ULL * (uint64_t)(sample_ids ? sample_ids[i] : i));
+    Rng rng(stream);
+    int64_t cur = seeds[i];
+    for (int64_t h = 0; h < num_hops; ++h) {
+      if (g.degree(cur) == 0) break;
+      cur = g.random_neighbor(cur, rng);
+    }
+    out_final[i] = cur;
+  }
+}
+
+// Degree-biased seed sampling over a node range: draw `count` node ids with
+// probability proportional to degree^power (the reference's deg^0.75 node
+// sampling, graph_dataset.py:86-92). Uses the alias-free inverse-CDF on a
+// host-precomputed cumulative array for O(log n) draws.
+void gcc_weighted_sample(const double* cdf, int64_t n, int64_t count,
+                         uint64_t rng_seed, int64_t* out) {
+  Rng rng(rng_seed);
+  const double total = cdf[n - 1];
+  for (int64_t i = 0; i < count; ++i) {
+    const double r = rng.uniform() * total;
+    // Binary search for first cdf[j] > r.
+    int64_t lo = 0, hi = n - 1;
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (cdf[mid] > r) hi = mid; else lo = mid + 1;
+    }
+    out[i] = lo;
+  }
+}
+
+}  // extern "C"

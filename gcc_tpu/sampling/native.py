@@ -1,0 +1,261 @@
+"""ctypes bindings for the native sampler, with a pure-numpy fallback.
+
+The numpy fallback implements the identical behavior contract (same trace
+semantics, same outputs) with numpy RNG; it exists so the framework runs
+anywhere and so tests have an independent implementation to cross-check
+structural properties against. Exact bit-parity between the two is not a
+goal (they use different RNG streams by design).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+from gcc_tpu.graph.csr import CSRGraph
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libgccsampler.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            from gcc_tpu.sampling.build import build
+
+            build()
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+    lib.gcc_sample_subgraphs.argtypes = [
+        i64p, i32p, ctypes.c_int64,          # indptr, indices, num_nodes
+        i64p, ctypes.c_int64, i64p,          # seeds, num_seeds, budgets
+        ctypes.c_double, ctypes.c_int32,     # restart_prob, aug
+        ctypes.c_int64, ctypes.c_int64,      # expand, hops
+        ctypes.c_uint64, i64p,               # rng_seed, sample_ids
+        ctypes.c_int64, ctypes.c_int64,      # node_cap, e_cap
+        ctypes.c_int32,                      # n_threads
+        i32p, i32p, i32p, i32p, i32p, i64p,  # outputs
+    ]
+    lib.gcc_random_walk.argtypes = [
+        i64p, i32p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint64, i64p, i64p,
+    ]
+    lib.gcc_weighted_sample.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class SampledSubgraphs(NamedTuple):
+    """Padded per-seed subgraphs in global+local form."""
+
+    nodes: np.ndarray    # (S, node_cap) int32 global ids, row b: first n[b]
+    n: np.ndarray        # (S,) int32
+    src: np.ndarray      # (S, e_cap) int32 local ids
+    dst: np.ndarray      # (S, e_cap) int32
+    e: np.ndarray        # (S,) int32 (clamped to e_cap)
+    e_full: np.ndarray   # (S,) int64 true edge counts (detect truncation)
+
+
+def sample_subgraphs(
+    g: CSRGraph,
+    seeds: np.ndarray,
+    budgets: np.ndarray,
+    restart_prob: float = 0.8,
+    aug: str = "rwr",
+    expand: int = 5,
+    hops: int = 64,
+    rng_seed: int = 0,
+    sample_ids: np.ndarray | None = None,
+    node_cap: int | None = None,
+    e_cap: int | None = None,
+    n_threads: int = 1,
+    force_numpy: bool = False,
+) -> SampledSubgraphs:
+    """Fused RWR/NS sampling + induced relabeled subgraph extraction.
+
+    Mirrors the reference pipeline RWR→`_rwr_trace_to_dgl_graph`
+    (graph_dataset.py:125-130 + data_util.py:218-231): the returned node
+    row starts with the seed, and edges are the induced multi-edges among
+    visited nodes in local ids.
+    """
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    budgets = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(budgets, np.int64), seeds.shape)
+    )
+    s = len(seeds)
+    if sample_ids is None:
+        sample_ids = np.arange(s, dtype=np.int64)
+    sample_ids = np.ascontiguousarray(sample_ids, dtype=np.int64)
+    if node_cap is None:
+        node_cap = int(budgets.max(initial=1)) + 1
+    if e_cap is None:
+        e_cap = 32 * node_cap
+
+    nodes = np.zeros((s, node_cap), dtype=np.int32)
+    n = np.zeros(s, dtype=np.int32)
+    src = np.zeros((s, e_cap), dtype=np.int32)
+    dst = np.zeros((s, e_cap), dtype=np.int32)
+    e = np.zeros(s, dtype=np.int32)
+    e_full = np.zeros(s, dtype=np.int64)
+
+    lib = None if force_numpy else _load()
+    aug_code = {"rwr": 0, "ns": 1}[aug]
+    if lib is not None:
+        lib.gcc_sample_subgraphs(
+            np.ascontiguousarray(g.indptr, np.int64),
+            np.ascontiguousarray(g.indices, np.int32),
+            g.num_nodes, seeds, s, budgets, float(restart_prob), aug_code,
+            expand, hops, rng_seed & (2**64 - 1), sample_ids, node_cap, e_cap,
+            n_threads, nodes.reshape(-1), n, src.reshape(-1), dst.reshape(-1),
+            e, e_full,
+        )
+    else:
+        _sample_subgraphs_numpy(
+            g, seeds, budgets, restart_prob, aug_code, expand, hops, rng_seed,
+            sample_ids, node_cap, e_cap, nodes, n, src, dst, e, e_full,
+        )
+    return SampledSubgraphs(nodes, n, src, dst, e, e_full)
+
+
+def random_walk_final(
+    g: CSRGraph,
+    seeds: np.ndarray,
+    num_hops: int,
+    rng_seed: int = 0,
+    sample_ids: np.ndarray | None = None,
+    force_numpy: bool = False,
+) -> np.ndarray:
+    """Final node of a `num_hops` uniform random walk per seed (N3)."""
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    s = len(seeds)
+    if sample_ids is None:
+        sample_ids = np.arange(s, dtype=np.int64)
+    sample_ids = np.ascontiguousarray(sample_ids, dtype=np.int64)
+    out = np.zeros(s, dtype=np.int64)
+    lib = None if force_numpy else _load()
+    if lib is not None:
+        lib.gcc_random_walk(
+            np.ascontiguousarray(g.indptr, np.int64),
+            np.ascontiguousarray(g.indices, np.int32),
+            g.num_nodes, seeds, s, num_hops, rng_seed & (2**64 - 1),
+            sample_ids, out,
+        )
+    else:
+        rng = np.random.default_rng(rng_seed)
+        for i, seed in enumerate(seeds):
+            cur = int(seed)
+            for _ in range(num_hops):
+                nbrs = g.neighbors(cur)
+                if len(nbrs) == 0:
+                    break
+                cur = int(nbrs[rng.integers(len(nbrs))])
+            out[i] = cur
+    return out
+
+
+def weighted_sample(
+    weights: np.ndarray, count: int, rng_seed: int = 0, force_numpy: bool = False
+) -> np.ndarray:
+    """Draw `count` indices with probability ∝ weights (degree^0.75 seeds)."""
+    weights = np.asarray(weights, dtype=np.float64)
+    lib = None if force_numpy else _load()
+    if lib is not None:
+        cdf = np.ascontiguousarray(np.cumsum(weights))
+        out = np.zeros(count, dtype=np.int64)
+        lib.gcc_weighted_sample(cdf, len(cdf), count, rng_seed & (2**64 - 1), out)
+        return out
+    rng = np.random.default_rng(rng_seed)
+    p = weights / weights.sum()
+    return rng.choice(len(weights), size=count, replace=True, p=p)
+
+
+# --- numpy fallback (same contract, independent implementation) --------------
+
+
+def _sample_subgraphs_numpy(
+    g, seeds, budgets, restart_prob, aug_code, expand, hops, rng_seed,
+    sample_ids, node_cap, e_cap, nodes, n, src, dst, e, e_full,
+):
+    for i, seed in enumerate(seeds):
+        rng = np.random.default_rng((rng_seed, int(sample_ids[i])))
+        seed = int(seed)
+        visited: dict[int, int] = {seed: 0}
+        order = [seed]
+        if aug_code == 0:
+            budget = int(budgets[i])
+            visits = 0
+            if len(g.neighbors(seed)) > 0:
+                while visits < budget and len(order) < node_cap:
+                    cur = seed
+                    while True:
+                        nbrs = g.neighbors(cur)
+                        if len(nbrs) == 0:
+                            break
+                        cur = int(nbrs[rng.integers(len(nbrs))])
+                        if cur not in visited:
+                            visited[cur] = len(order)
+                            order.append(cur)
+                        visits += 1
+                        if visits >= budget or len(order) >= node_cap:
+                            break
+                        if rng.random() < restart_prob:
+                            break
+        else:
+            frontier = [seed]
+            for _ in range(hops):
+                if not frontier:
+                    break
+                nxt = []
+                for u in frontier:
+                    nbrs = g.neighbors(u)
+                    if len(nbrs) == 0:
+                        continue
+                    if len(nbrs) <= expand:
+                        picks = nbrs
+                    else:
+                        picks = nbrs[rng.choice(len(nbrs), expand, replace=False)]
+                    for v in picks:
+                        v = int(v)
+                        if v not in visited:
+                            if len(order) >= node_cap:
+                                continue
+                            visited[v] = len(order)
+                            order.append(v)
+                        nxt.append(v)
+                frontier = nxt
+        n[i] = len(order)
+        nodes[i, : len(order)] = order
+        cnt = 0
+        for lu, u in enumerate(order):
+            for v in g.neighbors(u):
+                lv = visited.get(int(v))
+                if lv is None:
+                    continue
+                if cnt < e_cap:
+                    src[i, cnt] = lu
+                    dst[i, cnt] = lv
+                cnt += 1
+        e[i] = min(cnt, e_cap)
+        e_full[i] = cnt

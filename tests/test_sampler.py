@@ -1,0 +1,190 @@
+"""Sampler tests: structural contracts checked on both native and numpy paths.
+
+The native C++ and numpy implementations share a behavior contract but
+not RNG streams, so tests assert structure (seed-first, connectivity,
+budget bounds, induced-edge correctness vs the CSRGraph oracle,
+determinism) rather than bit-equality between backends.
+"""
+
+import numpy as np
+import pytest
+
+from gcc_tpu.config import SamplerConfig
+from gcc_tpu.graph.csr import CSRGraph
+from gcc_tpu.sampling import (
+    native_available,
+    random_walk_final,
+    rwr_budgets,
+    sample_contrastive_pairs,
+    sample_subgraphs,
+    weighted_sample,
+)
+from gcc_tpu.sampling.sampler import degree_weights, entire_graph_subgraph
+
+BACKENDS = [True]  # force_numpy values
+if native_available():
+    BACKENDS.append(False)
+
+
+def ring_graph(n=50):
+    src = np.arange(n)
+    dst = (src + 1) % n
+    return CSRGraph.from_edges(src, dst, symmetrize=True)
+
+
+def random_graph(n=200, m=800, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return CSRGraph.from_edges(src[keep], dst[keep], num_nodes=n, symmetrize=True)
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_rwr_structure(force_numpy):
+    g = random_graph()
+    seeds = np.array([0, 7, 100, 199])
+    budgets = np.full(4, 32)
+    out = sample_subgraphs(
+        g, seeds, budgets, restart_prob=0.8, rng_seed=42, force_numpy=force_numpy
+    )
+    for i, seed in enumerate(seeds):
+        n_i, e_i = out.n[i], out.e[i]
+        assert 1 <= n_i <= 33  # budget visits + seed
+        # Seed is local node 0.
+        assert out.nodes[i, 0] == seed
+        # Unique nodes.
+        assert len(set(out.nodes[i, :n_i].tolist())) == n_i
+        # Edges are a subset of the true induced subgraph.
+        oracle_src, oracle_dst = g.induced_subgraph(out.nodes[i, :n_i])
+        got = sorted(zip(out.src[i, :e_i].tolist(), out.dst[i, :e_i].tolist()))
+        want = sorted(zip(oracle_src.tolist(), oracle_dst.tolist()))
+        assert got == want
+        assert out.e_full[i] == len(want)
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_rwr_deterministic(force_numpy):
+    g = random_graph()
+    seeds = np.array([3, 14, 15])
+    budgets = np.full(3, 64)
+    a = sample_subgraphs(g, seeds, budgets, rng_seed=7, force_numpy=force_numpy)
+    b = sample_subgraphs(g, seeds, budgets, rng_seed=7, force_numpy=force_numpy)
+    np.testing.assert_array_equal(a.nodes, b.nodes)
+    np.testing.assert_array_equal(a.src, b.src)
+    c = sample_subgraphs(g, seeds, budgets, rng_seed=8, force_numpy=force_numpy)
+    assert not np.array_equal(a.nodes, c.nodes)
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_rwr_isolated_seed(force_numpy):
+    g = CSRGraph.from_edges([0], [1], num_nodes=3, symmetrize=True)
+    out = sample_subgraphs(
+        g, np.array([2]), np.array([16]), force_numpy=force_numpy
+    )
+    assert out.n[0] == 1 and out.e[0] == 0
+    assert out.nodes[0, 0] == 2
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_rwr_stays_in_component(force_numpy):
+    # Two disconnected rings: walk from ring A never reaches ring B.
+    n = 20
+    src = np.concatenate([np.arange(n), np.arange(n) + n])
+    dst = np.concatenate([(np.arange(n) + 1) % n, (np.arange(n) + 1) % n + n])
+    g = CSRGraph.from_edges(src, dst, symmetrize=True)
+    out = sample_subgraphs(
+        g, np.array([0]), np.array([500]), force_numpy=force_numpy
+    )
+    assert out.nodes[0, : out.n[0]].max() < n
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_ns_structure(force_numpy):
+    g = random_graph()
+    out = sample_subgraphs(
+        g, np.array([5]), np.array([1]), aug="ns", expand=3, hops=2,
+        node_cap=64, force_numpy=force_numpy,
+    )
+    n_i = out.n[0]
+    assert n_i >= 2  # seed plus at least one neighbor
+    assert out.nodes[0, 0] == 5
+    # All sampled nodes within 2 hops of the seed.
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_random_walk_final(force_numpy):
+    g = ring_graph(10)
+    out = random_walk_final(g, np.array([0, 5]), num_hops=1,
+                            force_numpy=force_numpy)
+    # One hop on a ring moves to a neighbor.
+    assert out[0] in (1, 9)
+    assert out[1] in (4, 6)
+    # Zero hops stays.
+    out0 = random_walk_final(g, np.array([3]), num_hops=0,
+                             force_numpy=force_numpy)
+    assert out0[0] == 3
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_weighted_sample_distribution(force_numpy):
+    w = np.array([0.0, 1.0, 3.0])
+    out = weighted_sample(w, 6000, rng_seed=1, force_numpy=force_numpy)
+    assert (out == 0).sum() == 0
+    frac_2 = (out == 2).mean()
+    assert 0.68 < frac_2 < 0.82  # expect 0.75
+
+
+def test_budget_formula():
+    g = random_graph()
+    cfg = SamplerConfig(rw_hops=4, restart_prob=0.8)
+    seeds = np.arange(10)
+    b = rwr_budgets(g, seeds, cfg, degree_power=True)
+    deg = g.out_degrees()[:10] ** 0.75
+    expect = np.maximum(4, np.floor(deg * np.e / (np.e - 1) / 0.8 + 0.5))
+    np.testing.assert_array_equal(b, expect.astype(np.int64))
+
+
+@pytest.mark.parametrize("force_numpy", BACKENDS)
+def test_contrastive_pairs(force_numpy):
+    g = random_graph()
+    cfg = SamplerConfig(rw_hops=16, restart_prob=0.8)
+    qs, ks = sample_contrastive_pairs(
+        g, np.array([1, 2, 3]), cfg, rng_seed=0, force_numpy=force_numpy
+    )
+    assert len(qs) == len(ks) == 3
+    for q, k in zip(qs, ks):
+        assert q.seed == 0 and k.seed == 0
+        assert q.num_nodes >= 1 and k.num_nodes >= 1
+        # q and k are independent samples (overwhelmingly different).
+    assert any(
+        q.num_nodes != k.num_nodes or not np.array_equal(q.src, k.src)
+        for q, k in zip(qs, ks)
+    )
+
+
+def test_entire_graph_subgraph():
+    g = random_graph(30, 100)
+    sub = entire_graph_subgraph(g)
+    assert sub.num_nodes == 30
+    assert len(sub.src) == g.num_edges
+    assert sub.seed == int(np.argmax(g.out_degrees()))
+
+
+def test_degree_weights():
+    g1 = ring_graph(5)
+    g2 = ring_graph(3)
+    w = degree_weights([g1, g2])
+    assert len(w) == 8
+    np.testing.assert_allclose(w, 2 ** 0.75)
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib not built")
+def test_native_matches_numpy_statistically():
+    # Mean subgraph size should agree between backends within tolerance.
+    g = random_graph(500, 3000, seed=3)
+    seeds = np.arange(100)
+    budgets = np.full(100, 64)
+    a = sample_subgraphs(g, seeds, budgets, rng_seed=0, force_numpy=False)
+    b = sample_subgraphs(g, seeds, budgets, rng_seed=0, force_numpy=True)
+    assert abs(a.n.mean() - b.n.mean()) / b.n.mean() < 0.15
