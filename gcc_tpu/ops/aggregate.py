@@ -1,0 +1,109 @@
+"""Neighborhood aggregation and readout ops over padded subgraph batches.
+
+TPU-native replacements for the DGL SpMM / segment ops that back GINConv
+and graph pooling in the reference (SURVEY.md §2b N6-N8; reference call
+sites gcc/models/gin.py:178-231).
+
+Two device strategies with identical semantics:
+
+* ``aggregate_sum_segment`` — XLA scatter-add over the flat padded edge
+  list. Shape-generic; the correctness oracle and fallback.
+* ``aggregate_sum_dense`` — materialize the batch's weighted adjacency as
+  (B, N, N) once per step and aggregate every layer with a batched
+  matmul. For RWR subgraphs (N ≤ ~1k) this is the fast path on TPU: the
+  MXU runs dense matmuls at speed-of-light while scatter-adds serialize
+  through the VPU. The adjacency build cost is amortized over the 4 GIN
+  layers (+ their backward passes, where A^T is reused).
+
+Edges carry float weights (0.0 padding / 1.0 real, summed multiplicities
+in dense form), so no masking is needed downstream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcc_tpu.graph.batch import PaddedSubgraphBatch
+
+
+def aggregate_sum_segment(
+    h: jax.Array, batch: PaddedSubgraphBatch
+) -> jax.Array:
+    """Sum of in-neighbor features per node via scatter-add.
+
+    Args:
+      h: (B, N_max, F) node features.
+    Returns:
+      (B, N_max, F): out[v] = Σ_{(u→v) edges} w_e * h[u].
+    """
+    b, n, f = h.shape
+    flat = h.reshape(b * n, f)
+    msgs = flat[batch.edges_src] * batch.edge_weight[:, None]
+    agg = jax.ops.segment_sum(msgs, batch.edges_dst, num_segments=b * n)
+    return agg.reshape(b, n, f)
+
+
+def build_dense_adjacency(batch: PaddedSubgraphBatch) -> jax.Array:
+    """(B, N, N) weighted adjacency A[b, v, u] = Σ multiplicity of u→v.
+
+    Built once per step with a single scatter-add; every layer (and its
+    VJP) then aggregates via batched matmul on the MXU.
+    """
+    b, n = batch.node_mask.shape
+    # Flat (B*N*N) scatter: index = dst * N + (src % N) within each graph.
+    src_local = batch.edges_src % n
+    flat_idx = batch.edges_dst * n + src_local
+    adj = jax.ops.segment_sum(
+        batch.edge_weight, flat_idx, num_segments=b * n * n
+    )
+    return adj.reshape(b, n, n)
+
+
+def aggregate_sum_dense(h: jax.Array, adj: jax.Array) -> jax.Array:
+    """Batched A @ h on the MXU. adj from :func:`build_dense_adjacency`."""
+    return jax.lax.dot_general(
+        adj,
+        h,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def graph_pool_sum(h: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """Per-graph sum readout (DGL SumPooling, reference gin.py:204-211).
+
+    Args:
+      h: (B, N_max, F); node_mask: (B, N_max).
+    Returns: (B, F).
+    """
+    return jnp.einsum("bnf,bn->bf", h, node_mask)
+
+
+def graph_pool_mean(h: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """Per-graph masked mean readout (DGL AvgPooling)."""
+    total = graph_pool_sum(h, node_mask)
+    counts = jnp.maximum(node_mask.sum(axis=1, keepdims=True), 1.0)
+    return total / counts
+
+
+def graph_pool_max(h: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """Per-graph masked max readout (DGL MaxPooling)."""
+    neg = jnp.where(node_mask[..., None] > 0, h, -jnp.inf)
+    out = neg.max(axis=1)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def node_degrees(batch: PaddedSubgraphBatch) -> jax.Array:
+    """(B, N_max) in-degree within each subgraph, counting multiplicity.
+
+    This is the reference's ``subg.in_degrees()`` used both for the
+    Laplacian normalization (data_util.py:273-277) and the degree
+    embedding feature (graph_encoder.py:152-165) — computed on device
+    from the edge list instead of shipped from host.
+    """
+    b, n = batch.node_mask.shape
+    deg = jax.ops.segment_sum(
+        batch.edge_weight, batch.edges_dst, num_segments=b * n
+    )
+    return deg.reshape(b, n)

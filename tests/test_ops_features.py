@@ -1,0 +1,241 @@
+"""Ops + featurization tests vs dense numpy/scipy oracles."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcc_tpu.graph.batch import Subgraph, batch_subgraphs
+from gcc_tpu.ops.aggregate import (
+    aggregate_sum_dense,
+    aggregate_sum_segment,
+    build_dense_adjacency,
+    graph_pool_max,
+    graph_pool_mean,
+    graph_pool_sum,
+    node_degrees,
+)
+from gcc_tpu.features import featurize_batch, laplacian_positional_embedding
+
+
+def make_batch(graphs_edges, n_max=8, e_max=16, seeds=None):
+    subs = []
+    for i, (src, dst, n) in enumerate(graphs_edges):
+        subs.append(
+            Subgraph(
+                src=np.asarray(src, np.int32),
+                dst=np.asarray(dst, np.int32),
+                num_nodes=n,
+                seed=0 if seeds is None else seeds[i],
+            )
+        )
+    return batch_subgraphs(subs, n_max=n_max, e_max=e_max)
+
+
+TOY = [
+    ([0, 1, 1, 2, 2, 0], [1, 0, 2, 1, 0, 2], 3),  # triangle
+    ([0, 1, 0, 1], [1, 0, 1, 0], 2),              # double edge (multiplicity)
+    ([], [], 1),                                   # isolated node
+]
+
+
+def test_dense_adjacency_matches_edges():
+    batch = make_batch(TOY)
+    adj = np.asarray(build_dense_adjacency(batch))
+    # Triangle: symmetric 0/1
+    expect0 = np.zeros((8, 8))
+    for s, d in zip(*TOY[0][:2]):
+        expect0[d, s] += 1
+    np.testing.assert_array_equal(adj[0], expect0)
+    # Multiplicity 2 kept.
+    assert adj[1][1, 0] == 2 and adj[1][0, 1] == 2
+    # Isolated: all zero.
+    assert adj[2].sum() == 0
+
+
+def test_aggregate_dense_equals_segment():
+    rng = np.random.default_rng(0)
+    batch = make_batch(TOY)
+    h = jnp.asarray(rng.normal(size=(3, 8, 5)).astype(np.float32))
+    seg = aggregate_sum_segment(h, batch)
+    dense = aggregate_sum_dense(h, build_dense_adjacency(batch))
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(dense), atol=1e-5)
+
+
+def test_aggregate_oracle():
+    # Hand-check triangle: out[v] = sum of neighbors.
+    batch = make_batch([TOY[0]], n_max=4, e_max=8)
+    h = jnp.asarray(
+        np.array([[[1, 0], [0, 1], [2, 2], [9, 9]]], dtype=np.float32)
+    )
+    out = np.asarray(aggregate_sum_segment(h, batch))
+    np.testing.assert_allclose(out[0, 0], [2, 3])  # nbrs 1,2
+    np.testing.assert_allclose(out[0, 1], [3, 2])  # nbrs 0,2
+    np.testing.assert_allclose(out[0, 2], [1, 1])  # nbrs 0,1
+    np.testing.assert_allclose(out[0, 3], [0, 0])  # padding untouched
+
+
+def test_node_degrees():
+    batch = make_batch(TOY)
+    deg = np.asarray(node_degrees(batch))
+    np.testing.assert_array_equal(deg[0, :3], [2, 2, 2])
+    np.testing.assert_array_equal(deg[1, :2], [2, 2])
+    assert deg[2].sum() == 0
+
+
+def test_pooling():
+    batch = make_batch(TOY)
+    h = jnp.ones((3, 8, 4))
+    np.testing.assert_allclose(
+        np.asarray(graph_pool_sum(h, batch.node_mask))[:, 0], [3, 2, 1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(graph_pool_mean(h, batch.node_mask)), np.ones((3, 4))
+    )
+    h2 = jnp.asarray(np.arange(3 * 8 * 1, dtype=np.float32).reshape(3, 8, 1))
+    mx = np.asarray(graph_pool_max(h2, batch.node_mask))
+    np.testing.assert_allclose(mx[:, 0], [2, 9, 16])  # max over real nodes
+
+
+def reference_pe_oracle(src, dst, n, pos_size):
+    """The reference recipe (data_util.py:242-281) in scipy, dense."""
+    import scipy.sparse as sp
+
+    a = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0
+    deg = a.sum(axis=1)
+    inv = 1.0 / np.sqrt(np.clip(deg, 1, None))
+    m = a * inv[:, None] * inv[None, :]
+    k = min(n - 2, pos_size)
+    if k <= 0:
+        return np.zeros((n, pos_size))
+    vals, vecs = np.linalg.eigh(m)
+    u = vecs[:, -k:]  # top-k ascending (reference layout)
+    norm = np.linalg.norm(u, axis=1, keepdims=True)
+    u = u / np.where(norm == 0, 1, norm)
+    out = np.zeros((n, pos_size))
+    out[:, :k] = u
+    return out
+
+
+@pytest.mark.parametrize("case", [0, 1])
+def test_positional_embedding_matches_oracle_subspace(case):
+    # Compare spanned subspace (ours descending vs oracle ascending, signs
+    # arbitrary): the row-normalized top-k eigenvector sets must span the
+    # same space, checked via projector allclose.
+    rng = np.random.default_rng(case)
+    n = 12
+    src = rng.integers(0, n, 40)
+    dst = rng.integers(0, n, 40)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    pos_size = 4
+    batch = make_batch([(src, dst, n)], n_max=16, e_max=128)
+    ours = np.asarray(laplacian_positional_embedding(batch, pos_size))[0, :n]
+    # Recompute both *unnormalized* projectors from the raw eigenvectors:
+    # row normalization destroys orthogonality, so compare before that —
+    # instead check each of our columns lies in the oracle's top-k span.
+    import numpy.linalg as la
+
+    a = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        a[d, s] += 1.0
+    deg = a.sum(axis=1)
+    inv = 1.0 / np.sqrt(np.clip(deg, 1, None))
+    m = a * inv[:, None] * inv[None, :]
+    k = min(n - 2, pos_size)
+    _, vecs = la.eigh(m)
+    basis = vecs[:, -k:]
+    proj = basis @ basis.T
+    for j in range(k):
+        col = ours[:, j]
+        assert la.norm(col) > 0.1  # row-normalized, but columns nonzero
+        # Column should be (numerically) inside the span only before row
+        # normalization — so instead verify the *unnormalized* embedding:
+    # Direct check: recompute ours without row-normalization via the
+    # oracle in descending order and compare |cosine| per column.
+    ref_desc = vecs[:, -1 : -k - 1 : -1]
+    raw = np.asarray(
+        laplacian_positional_embedding(batch, pos_size)
+    )[0, :n]
+    # After row normalization parity: apply same row normalization to ref.
+    ref = np.zeros((n, pos_size))
+    ref[:, :k] = ref_desc
+    rn = la.norm(ref, axis=1, keepdims=True)
+    ref = ref / np.where(rn == 0, 1, rn)
+    for j in range(k):
+        c = abs(np.dot(raw[:, j], ref[:, j])) / (
+            la.norm(raw[:, j]) * la.norm(ref[:, j]) + 1e-12
+        )
+        assert c > 0.99, f"col {j} cosine {c}"
+
+
+def test_positional_embedding_small_graphs_zero():
+    # n <= 2 -> k <= 0 -> all-zero PE (reference data_util.py:245-246).
+    batch = make_batch([([0, 1], [1, 0], 2), ([], [], 1)])
+    pe = np.asarray(laplacian_positional_embedding(batch, 4))
+    assert pe[0].sum() == 0 and pe[1].sum() == 0
+
+
+def test_positional_embedding_rows_unit_norm():
+    rng = np.random.default_rng(3)
+    n = 10
+    src = rng.integers(0, n, 30)
+    dst = rng.integers(0, n, 30)
+    keep = src != dst
+    src, dst = np.concatenate([src[keep], dst[keep]]), np.concatenate(
+        [dst[keep], src[keep]]
+    )
+    batch = make_batch([(src, dst, n)], n_max=16, e_max=128)
+    pe = np.asarray(laplacian_positional_embedding(batch, 4))[0]
+    norms = np.linalg.norm(pe[:n], axis=1)
+    ok = (np.abs(norms - 1) < 1e-4) | (norms < 1e-6)
+    assert ok.all()
+    # Padding rows zero.
+    assert np.abs(pe[n:]).sum() == 0
+
+
+def test_featurize_batch_jits():
+    batch = make_batch(TOY)
+    f = jax.jit(lambda b: featurize_batch(b, 4))(batch)
+    assert f.pos.shape == (3, 8, 4)
+    assert f.degrees.dtype == jnp.int32
+    assert f.adj.shape == (3, 8, 8)
+
+
+def test_subspace_pe_approximates_eigh():
+    # The subspace-iteration PE must span (approximately) the same
+    # per-column directions as the exact eigh PE on a generic graph.
+    rng = np.random.default_rng(5)
+    n = 30
+    src = rng.integers(0, n, 140)
+    dst = rng.integers(0, n, 140)
+    keep = src != dst
+    src, dst = np.concatenate([src[keep], dst[keep]]), np.concatenate(
+        [dst[keep], src[keep]]
+    )
+    batch = make_batch([(src, dst, n)], n_max=32, e_max=512)
+    exact = np.asarray(
+        laplacian_positional_embedding(batch, 8, method="eigh")
+    )[0, :n]
+    approx = np.asarray(
+        laplacian_positional_embedding(batch, 8, method="subspace",
+                                       iters=60, orth_every=4)
+    )[0, :n]
+    # Compare leading columns by |cosine| (degenerate tail may mix).
+    for j in range(4):
+        a, b = exact[:, j], approx[:, j]
+        c = abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert c > 0.95, f"col {j}: cosine {c}"
+
+
+def test_subspace_pe_padding_stays_zero():
+    batch = make_batch(TOY + [([0, 1], [1, 0], 2)])
+    pe = np.asarray(
+        laplacian_positional_embedding(batch, 4, method="subspace", iters=20)
+    )
+    nm = np.asarray(batch.node_mask)
+    assert np.abs(pe[nm == 0]).max() == 0
