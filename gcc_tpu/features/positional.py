@@ -75,15 +75,22 @@ def laplacian_positional_embedding(
         the reference's ARPACK has — and the TPU-native hot path.
     """
     m = normalized_adjacency(batch, adj)
+    n_max = batch.node_mask.shape[1]
+    # A bucket smaller than pos_size can only yield n_max eigenvectors;
+    # the remaining columns are zero-padded (k_b ≤ n_b - 2 < pos_size
+    # anyway, so the column mask below zeroes them regardless).
+    n_vec = min(pos_size, n_max)
     if method == "eigh":
-        # eigh: ascending eigenvalues; take the last pos_size columns,
+        # eigh: ascending eigenvalues; take the last n_vec columns,
         # largest first.
         _, vecs = jnp.linalg.eigh(m)
-        top = vecs[:, :, -1 : -pos_size - 1 : -1]  # (B, N, k), descending
+        top = vecs[:, :, -1 : -n_vec - 1 : -1]  # (B, N, n_vec), descending
     elif method == "subspace":
-        top = _subspace_topk(m, batch, pos_size, iters, orth_every)
+        top = _subspace_topk(m, batch, n_vec, iters, orth_every)
     else:
         raise ValueError(f"unknown PE method: {method}")
+    if n_vec < pos_size:
+        top = jnp.pad(top, ((0, 0), (0, 0), (0, pos_size - n_vec)))
 
     # Canonicalize sign: make the entry with max |value| positive.
     idx = jnp.argmax(jnp.abs(top), axis=1, keepdims=True)

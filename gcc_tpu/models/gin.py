@@ -1,0 +1,86 @@
+"""Graph Isomorphism Network encoder (the reference's default model).
+
+Semantics mirrored from reference gcc/models/gin.py:119-232 with
+learn_eps=False, sum aggregation, sum graph pooling, 2-layer MLPs:
+
+per conv layer i (num_layers-1 of them):
+    agg = h + Σ_{u∈N(v)} h_u                    (GINConv, ε=0)
+    z   = ReLU(BN_mlp(Linear_1(agg)))           (MLP hidden)
+    z   = Linear_2(z)                           (MLP out)
+    z   = ReLU(BN_apply(z))                     (ApplyNodeFunc)
+    h   = ReLU(BN_outer(z))                     (UnsupervisedGIN loop)
+
+readout: for every hidden_rep [input, h_1, .., h_{L-1}]:
+    score += Dropout(Linear_pred_i(sum_pool_i))
+returns (score, per-layer pooled activations of h_1..h_{L-1}) — the
+pooled activations are the reference's `all_outputs[1:]`, the allclose
+parity target named in SURVEY.md §7.
+
+Aggregation runs on the dense per-batch adjacency (one batched matmul on
+the MXU per layer) — see gcc_tpu/ops/aggregate.py for why this is the
+TPU-native choice for RWR-bounded subgraphs.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gcc_tpu.models.layers import Linear, MaskedBatchNorm
+from gcc_tpu.ops.aggregate import aggregate_sum_dense, graph_pool_sum
+
+
+class GINMLP(nn.Module):
+    """2-layer MLP with BN+ReLU on the hidden layer (reference MLP class)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average):
+        if self.num_layers == 1:
+            return Linear(self.output_dim)(x)
+        h = x
+        for _ in range(self.num_layers - 1):
+            h = Linear(self.hidden_dim)(h)
+            h = MaskedBatchNorm()(h, mask, use_running_average)
+            h = nn.relu(h)
+        return Linear(self.output_dim)(h)
+
+
+class UnsupervisedGIN(nn.Module):
+    num_layers: int = 5
+    num_mlp_layers: int = 2
+    hidden_dim: int = 64
+    output_dim: int = 64
+    final_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, h, adj, node_mask, train: bool = True):
+        """h: (B, N, F_in); adj: (B, N, N); node_mask: (B, N).
+
+        Returns (score: (B, output_dim), pooled: list of (B, hidden_dim)).
+        """
+        ura = not train  # use running averages in eval mode
+        hidden_rep = [h]
+        for _ in range(self.num_layers - 1):
+            agg = h + aggregate_sum_dense(h, adj)
+            z = GINMLP(self.hidden_dim, self.hidden_dim, self.num_mlp_layers)(
+                agg, node_mask, ura
+            )
+            z = MaskedBatchNorm()(z, node_mask, ura)  # ApplyNodeFunc BN
+            z = nn.relu(z)
+            z = MaskedBatchNorm()(z, node_mask, ura)  # outer loop BN
+            h = nn.relu(z)
+            hidden_rep.append(h)
+
+        score = 0.0
+        pooled_all = []
+        for i, rep in enumerate(hidden_rep):
+            pooled = graph_pool_sum(rep, node_mask)
+            pooled_all.append(pooled)
+            out = Linear(self.output_dim)(pooled)
+            out = nn.Dropout(self.final_dropout, deterministic=not train)(out)
+            score = score + out
+        return score, pooled_all[1:]
