@@ -1,0 +1,117 @@
+"""Benchmark: MoCo pretrain throughput on one chip, in edge-messages/s.
+
+Runs the canonical MoCo config (batch 32, K=16384, 5-layer GIN, rw_hops
+256 — reference README.md:79-83 / train.py:45-120) over a synthetic
+corpus of the reference corpus's shape, with the full production path:
+C++ RWR sampling on host threads, padded static-shape batches, and the
+fused jitted train step (featurization + PE + encoder fwd/bwd + InfoNCE
++ EMA + queue) dispatched asynchronously.
+
+Metric: edge_messages/s/chip = real (unpadded) edges aggregated across
+all GIN conv layers per second, i.e. Σ_batch (E_q + E_k) × (L-1) / time.
+This is the roofline-relevant unit for message-passing throughput
+(BASELINE.json "edges/s/chip").
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md §Throughput). The denominator below is a documented
+estimate of the reference pipeline's ceiling on its own hardware
+(1 GPU + 12 CPU sampler workers): ~2400 subgraphs/s sampling ceiling
+(≈5ms/subgraph for RWR + ARPACK per worker) → ~37 batch-pairs/s × ~51k
+edge-messages/batch ≈ 1.9e6; GPU launch overhead (~50 kernel launches ×
+4 conv layers per step) caps it lower in practice. We use 2e6 — the
+generous end — so vs_baseline understates the speedup if anything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EDGE_MSGS_PER_S = 2.0e6
+
+BATCH_SIZE = 32
+N_MAX = 512
+E_MAX = 8192
+RW_HOPS = 256
+NCE_K = 16384
+WARMUP_STEPS = 8
+MEASURE_STEPS = 60
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from gcc_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    from gcc_tpu.config import ContrastConfig, SamplerConfig, TrainConfig
+    from gcc_tpu.graph.corpus import CorpusStore, synthetic_corpus
+    from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
+    from gcc_tpu.training import create_pretrain_state, make_train_step
+
+    corpus_dir = os.environ.get("GCC_TPU_BENCH_CORPUS", "/tmp/gcc_tpu_bench_corpus")
+    if not os.path.exists(os.path.join(corpus_dir, "manifest.json")):
+        synthetic_corpus(corpus_dir, num_graphs=6, nodes_per_graph=100_000,
+                         avg_degree=12, seed=0)
+    store = CorpusStore.open(corpus_dir)
+
+    cfg = TrainConfig(
+        batch_size=BATCH_SIZE,
+        sampler=SamplerConfig(rw_hops=RW_HOPS),
+        contrast=ContrastConfig(moco=True, nce_k=NCE_K),
+    )
+    pcfg = PipelineConfig(
+        batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
+        num_samples=10_000, num_workers=1, prefetch=8,
+        threads_per_worker=2, mode="thread",
+    )
+    num_conv_layers = cfg.encoder.num_layers - 1
+
+    with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
+        bq, bk = next(pipe)
+        state, enc, tx = create_pretrain_state(
+            jax.random.PRNGKey(0), cfg, jax.device_put(bq), total_steps=100_000
+        )
+        step_fn = make_train_step(cfg, enc, tx)
+
+        for _ in range(WARMUP_STEPS):
+            bq, bk = next(pipe)
+            state, metrics = step_fn(state, jax.device_put(bq),
+                                     jax.device_put(bk))
+        jax.block_until_ready(metrics["loss"])
+
+        edge_messages = 0.0
+        t0 = time.time()
+        for _ in range(MEASURE_STEPS):
+            bq, bk = next(pipe)
+            edge_messages += float(
+                np.asarray(bq.edge_weight).sum() + np.asarray(bk.edge_weight).sum()
+            ) * num_conv_layers
+            state, metrics = step_fn(state, jax.device_put(bq),
+                                     jax.device_put(bk))
+        jax.block_until_ready(metrics["loss"])
+        elapsed = time.time() - t0
+
+    value = edge_messages / elapsed
+    print(json.dumps({
+        "metric": "edge_messages/s/chip",
+        "value": round(value, 1),
+        "unit": "edge-messages/s",
+        "vs_baseline": round(value / REFERENCE_EDGE_MSGS_PER_S, 2),
+        "detail": {
+            "step_ms": round(elapsed / MEASURE_STEPS * 1000, 2),
+            "steps_per_s": round(MEASURE_STEPS / elapsed, 2),
+            "loss": round(float(metrics["loss"]), 4),
+            "config": "moco k=16384 b=32 gin5x64 rw256 bucket(512,8192)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

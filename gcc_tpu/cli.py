@@ -1,0 +1,250 @@
+"""Command-line interface.
+
+Subcommands mirror the reference's entry points (train.py / generate.py /
+gcc/tasks/*.py CLIs plus the x2dgl ingest tool):
+
+  python -m gcc_tpu.cli synth-corpus --out data/corpus
+  python -m gcc_tpu.cli ingest --out data/corpus graph1.edgelist ...
+  python -m gcc_tpu.cli pretrain --corpus data/corpus --out saved [--moco ...]
+  python -m gcc_tpu.cli generate --ckpt saved/<run>/current --dataset usa_airport
+  python -m gcc_tpu.cli eval-node --dataset usa_airport --emb <npy>
+  python -m gcc_tpu.cli eval-graph --dataset imdb-binary --emb <npy>
+  python -m gcc_tpu.cli eval-sim --dataset kdd_icdm --emb1 <npy> --emb2 <npy>
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: remote-TPU compiles run minutes;
+    cache them across processes."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/gcc_tpu_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _add_train_flags(p):
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--num-samples", type=int, default=2000)
+    p.add_argument("--num-workers", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--moco", action="store_true")
+    p.add_argument("--nce-k", type=int, default=16384)
+    p.add_argument("--nce-t", type=float, default=0.07)
+    p.add_argument("--alpha", type=float, default=0.999)
+    p.add_argument("--learning-rate", type=float, default=0.005)
+    p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--model", default="gin", choices=["gin", "gat", "mpnn"])
+    p.add_argument("--num-layer", type=int, default=5)
+    p.add_argument("--hidden-size", type=int, default=64)
+    p.add_argument("--rw-hops", type=int, default=256)
+    p.add_argument("--restart-prob", type=float, default=0.8)
+    p.add_argument("--positional-embedding-size", type=int, default=32)
+    p.add_argument("--degree-embedding-size", type=int, default=16)
+    p.add_argument("--max-degree", type=int, default=512)
+    p.add_argument("--pe-method", default="subspace", choices=["subspace", "eigh"])
+    p.add_argument("--aug", default="rwr", choices=["rwr", "ns"])
+    p.add_argument("--n-max", type=int, default=512)
+    p.add_argument("--e-max", type=int, default=8192)
+    p.add_argument("--exp", default="")
+    p.add_argument("--dataset", default="corpus")
+
+
+def _cfg_from_args(args):
+    from gcc_tpu.config import (
+        ContrastConfig, EncoderConfig, OptimConfig, SamplerConfig, TrainConfig,
+    )
+
+    return TrainConfig(
+        exp=args.exp,
+        dataset=args.dataset,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        num_samples=args.num_samples,
+        num_workers=args.num_workers,
+        seed=args.seed,
+        sampler=SamplerConfig(
+            rw_hops=args.rw_hops, restart_prob=args.restart_prob,
+            aug=args.aug,
+        ),
+        encoder=EncoderConfig(
+            model=args.model, num_layers=args.num_layer,
+            hidden_size=args.hidden_size, output_size=args.hidden_size,
+            positional_embedding_size=args.positional_embedding_size,
+            degree_embedding_size=args.degree_embedding_size,
+            max_degree=args.max_degree, pe_method=args.pe_method,
+        ),
+        contrast=ContrastConfig(
+            moco=args.moco, nce_k=args.nce_k, nce_t=args.nce_t,
+            alpha=args.alpha,
+        ),
+        optim=OptimConfig(
+            learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        ),
+    )
+
+
+def cmd_synth_corpus(args):
+    from gcc_tpu.graph.corpus import synthetic_corpus
+
+    store = synthetic_corpus(
+        args.out, num_graphs=args.num_graphs,
+        nodes_per_graph=args.nodes_per_graph, avg_degree=args.avg_degree,
+        seed=args.seed,
+    )
+    print(f"wrote {store.num_graphs} graphs, sizes {store.graph_sizes}")
+
+
+def cmd_ingest(args):
+    from gcc_tpu.data.ingest import ingest_edgelists
+
+    store = ingest_edgelists(args.files, args.out)
+    print(f"wrote {store.num_graphs} graphs, sizes {store.graph_sizes}")
+
+
+def cmd_pretrain(args):
+    from gcc_tpu.sampling.pipeline import PipelineConfig
+    from gcc_tpu.training.loop import run_pretrain
+
+    cfg = _cfg_from_args(args)
+    pcfg = PipelineConfig(
+        batch_size=cfg.batch_size, n_max=args.n_max, e_max=args.e_max,
+        num_samples=cfg.num_samples, num_workers=cfg.num_workers,
+    )
+    summary = run_pretrain(cfg, args.corpus, args.out, pcfg)
+    print(summary)
+
+
+def cmd_generate(args):
+    import jax
+
+    from gcc_tpu.training.checkpoint import load_checkpoint, load_config
+    from gcc_tpu.generate import (
+        generate_embeddings, graph_subgraphs, node_subgraphs,
+    )
+    from gcc_tpu.data.formats import GRAPH_CLASSIFICATION_DSETS
+
+    run_dir = os.path.dirname(args.ckpt)
+    cfg = load_config(run_dir)
+    state = load_checkpoint(args.ckpt)
+    # Restored as raw pytree dict; wrap minimal access.
+    from types import SimpleNamespace
+
+    state = SimpleNamespace(**state) if isinstance(state, dict) else state
+
+    if args.dataset in GRAPH_CLASSIFICATION_DSETS:
+        from gcc_tpu.data.tu import load_tu_dataset
+
+        graphs, _ = load_tu_dataset(args.dataset, args.data_root)
+        subs = graph_subgraphs(graphs)
+    else:
+        from gcc_tpu.data.formats import create_node_classification_dataset
+
+        data = create_node_classification_dataset(args.dataset, args.data_root)
+        subs = node_subgraphs(data.graph, cfg, args.n_max, args.e_max)
+    emb = generate_embeddings(cfg, state, subs, n_max=args.n_max,
+                              e_max=args.e_max)
+    out = args.out or os.path.join(run_dir, f"{args.dataset}.npy")
+    np.save(out, emb)
+    print(f"saved {emb.shape} -> {out}")
+
+
+def cmd_eval_node(args):
+    from gcc_tpu.tasks import NodeClassification
+
+    task = NodeClassification(args.dataset, args.hidden_size, args.seed,
+                              emb_path=args.emb, data_root=args.data_root)
+    print(task.train())
+
+
+def cmd_eval_graph(args):
+    from gcc_tpu.tasks import GraphClassification
+
+    task = GraphClassification(args.dataset, args.hidden_size, args.seed,
+                               emb_path=args.emb, data_root=args.data_root)
+    print(task.train())
+
+
+def cmd_eval_sim(args):
+    from gcc_tpu.tasks import SimilaritySearch
+
+    d1, d2 = args.dataset.split("_")
+    task = SimilaritySearch(d1, d2, args.hidden_size,
+                            emb_path_1=args.emb1, emb_path_2=args.emb2,
+                            data_root=args.data_root)
+    print(task.train())
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("gcc_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth-corpus")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-graphs", type=int, default=6)
+    p.add_argument("--nodes-per-graph", type=int, default=20000)
+    p.add_argument("--avg-degree", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synth_corpus)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("pretrain")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", default="saved")
+    _add_train_flags(p)
+    p.set_defaults(fn=cmd_pretrain)
+
+    p = sub.add_parser("generate")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--n-max", type=int, default=512)
+    p.add_argument("--e-max", type=int, default=8192)
+    p.set_defaults(fn=cmd_generate)
+
+    for name, fn in [("eval-node", cmd_eval_node), ("eval-graph", cmd_eval_graph)]:
+        p = sub.add_parser(name)
+        p.add_argument("--dataset", required=True)
+        p.add_argument("--emb", required=True)
+        p.add_argument("--hidden-size", type=int, default=64)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--data-root", default="data")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("eval-sim")
+    p.add_argument("--dataset", required=True)  # e.g. kdd_icdm
+    p.add_argument("--emb1", required=True)
+    p.add_argument("--emb2", required=True)
+    p.add_argument("--hidden-size", type=int, default=64)
+    p.add_argument("--data-root", default="data")
+    p.set_defaults(fn=cmd_eval_sim)
+
+    args = parser.parse_args(argv)
+    _enable_compilation_cache()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

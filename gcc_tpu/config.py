@@ -40,6 +40,8 @@ class EncoderConfig:
     hidden_size: int = 64
     output_size: int = 64
     positional_embedding_size: int = 32
+    # "subspace" (fast TPU path) or "eigh" (exact); see features/positional.py.
+    pe_method: str = "subspace"
     degree_embedding_size: int = 16
     max_degree: int = 512
     degree_input: bool = True

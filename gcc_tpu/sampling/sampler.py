@@ -74,6 +74,8 @@ def sample_contrastive_pairs(
     degree_power: bool = True,
     n_threads: int = 1,
     force_numpy: bool = False,
+    node_cap: int | None = None,
+    e_cap: int | None = None,
 ) -> tuple[list[Subgraph], list[Subgraph]]:
     """Sample (query, key) subgraph pairs for contrastive pre-training.
 
@@ -91,11 +93,12 @@ def sample_contrastive_pairs(
 
     budgets_q = rwr_budgets(g, seeds, cfg, degree_power)
     budgets_k = rwr_budgets(g, k_seeds, cfg, degree_power)
-    node_cap = int(max(budgets_q.max(initial=1), budgets_k.max(initial=1))) + 1
+    if node_cap is None:
+        node_cap = int(max(budgets_q.max(initial=1), budgets_k.max(initial=1))) + 1
 
     common = dict(
         restart_prob=cfg.restart_prob, aug=cfg.aug, expand=cfg.num_neighbors,
-        hops=cfg.rw_hops, rng_seed=rng_seed, node_cap=node_cap,
+        hops=cfg.rw_hops, rng_seed=rng_seed, node_cap=node_cap, e_cap=e_cap,
         n_threads=n_threads, force_numpy=force_numpy,
     )
     out_q = native.sample_subgraphs(

@@ -1,0 +1,39 @@
+"""Frozen-embedding graph classification (reference
+gcc/tasks/graph_classification.py:28-64): 10-fold stratified CV with
+SVC(C=100000), accuracy reported under the "Micro-F1" key for parity
+with the reference's output format."""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.metrics import accuracy_score
+from sklearn.model_selection import StratifiedKFold
+from sklearn.svm import SVC
+
+
+def evaluate_graph_embeddings(
+    embeddings: np.ndarray, labels: np.ndarray, seed: int = 0
+) -> dict:
+    kf = StratifiedKFold(n_splits=10, shuffle=True, random_state=seed)
+    accuracies = []
+    for train_idx, test_idx in kf.split(embeddings, labels):
+        clf = SVC(C=100000)
+        clf.fit(embeddings[train_idx], labels[train_idx])
+        accuracies.append(
+            accuracy_score(labels[test_idx], clf.predict(embeddings[test_idx]))
+        )
+    return {"Micro-F1": float(np.mean(accuracies))}
+
+
+class GraphClassification:
+    def __init__(self, dataset: str, hidden_size: int, seed: int = 0,
+                 emb_path: str = "", data_root: str = "data"):
+        from gcc_tpu.data.tu import load_tu_dataset
+
+        self.graphs, self.labels = load_tu_dataset(dataset, data_root)
+        self.seed = seed
+        self.emb_path = emb_path
+
+    def train(self) -> dict:
+        emb = np.load(self.emb_path)
+        return evaluate_graph_embeddings(emb, self.labels, self.seed)

@@ -1,0 +1,114 @@
+"""Pretraining driver loop (the reference's train_moco epochs,
+train.py:713-786, minus torch scaffolding).
+
+Device steps are dispatched asynchronously; metrics are fetched with a
+lag of `metrics_lag` steps so the host never blocks on the accelerator
+(a blocking fetch costs a full relay round-trip on remote-TPU setups).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from gcc_tpu.config import TrainConfig
+from gcc_tpu.graph.corpus import CorpusStore
+from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
+from gcc_tpu.training.checkpoint import save_checkpoint
+from gcc_tpu.training.pretrain import create_pretrain_state, make_train_step
+from gcc_tpu.utils.meters import AverageMeter
+
+
+def run_pretrain(
+    cfg: TrainConfig,
+    corpus_path: str,
+    out_dir: str,
+    pcfg: PipelineConfig | None = None,
+    log_fn: Callable[[str], None] = print,
+    metrics_lag: int = 8,
+) -> dict:
+    """Train for cfg.epochs over the corpus; returns final summary dict."""
+    store = CorpusStore.open(corpus_path)
+    pcfg = pcfg or PipelineConfig(
+        batch_size=cfg.batch_size,
+        num_samples=cfg.num_samples,
+        num_workers=cfg.num_workers,
+    )
+    run_dir = os.path.join(out_dir, cfg.run_name())
+    os.makedirs(run_dir, exist_ok=True)
+    metrics_path = os.path.join(run_dir, "metrics.jsonl")
+
+    with PretrainPipeline(store, cfg.sampler, pcfg, seed=cfg.seed) as pipe:
+        steps_per_epoch = pipe.steps_per_epoch
+        total_steps = steps_per_epoch * cfg.epochs
+
+        bq0, bk0 = next(pipe)
+        state, enc, tx = create_pretrain_state(
+            jax.random.PRNGKey(cfg.seed), cfg, jax.device_put(bq0),
+            total_steps,
+        )
+        step_fn = make_train_step(cfg, enc, tx)
+
+        pending: list[tuple[int, dict]] = []
+        loss_meter = AverageMeter()
+        summary = {}
+        mfile = open(metrics_path, "a")
+        global_step = 0
+        t_start = time.time()
+        for epoch in range(1, cfg.epochs + 1):
+            t_epoch = time.time()
+            data_t = 0.0
+            for _ in range(steps_per_epoch):
+                t0 = time.time()
+                bq, bk = (bq0, bk0) if global_step == 0 else next(pipe)
+                data_t += time.time() - t0
+                state, metrics = step_fn(
+                    state, jax.device_put(bq), jax.device_put(bk)
+                )
+                pending.append((global_step, metrics))
+                global_step += 1
+                # Drain metrics with lag to keep dispatch async.
+                while len(pending) > metrics_lag:
+                    s, m = pending.pop(0)
+                    loss = float(m["loss"])
+                    loss_meter.update(loss)
+                    mfile.write(json.dumps(
+                        {"step": s, "loss": loss,
+                         "prob": float(m["prob"]),
+                         "grad_norm": float(m["grad_norm"])}) + "\n")
+                    if (s + 1) % cfg.print_freq == 0:
+                        log_fn(
+                            f"epoch {epoch} step {s + 1}/{total_steps} "
+                            f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})"
+                        )
+            jax.block_until_ready(state.params)
+            # Epoch boundary: drain all in-flight metrics.
+            while pending:
+                s, m = pending.pop(0)
+                loss = float(m["loss"])
+                loss_meter.update(loss)
+                mfile.write(json.dumps(
+                    {"step": s, "loss": loss, "prob": float(m["prob"]),
+                     "grad_norm": float(m["grad_norm"])}) + "\n")
+            if epoch % cfg.save_freq == 0:
+                save_checkpoint(run_dir, state, cfg, step=epoch)
+            save_checkpoint(run_dir, state, cfg)
+            log_fn(
+                f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
+                f"(data wait {data_t:.1f}s), avg loss {loss_meter.avg:.4f}"
+            )
+            summary = {
+                "epoch": epoch,
+                "avg_loss": loss_meter.avg,
+                "steps": global_step,
+                "wall": time.time() - t_start,
+            }
+            loss_meter.reset()
+        mfile.close()
+    summary["run_dir"] = run_dir
+    return summary

@@ -1,0 +1,191 @@
+"""Contrastive pre-training: state container + fused train step.
+
+The reference's per-step sequence — two encoder forwards, contrast
+logits, InfoNCE loss, backward, grad clip, warmup-linear Adam step, EMA
+momentum update, queue enqueue (train.py:350-478) — compiles here into a
+single XLA program per size bucket, including the on-device batch
+featurization (positional embedding etc.) that the reference does on CPU
+in DataLoader workers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gcc_tpu.config import TrainConfig
+from gcc_tpu.contrastive import (
+    MoCoQueue,
+    e2e_logits,
+    enqueue,
+    init_queue,
+    moco_logits,
+    nce_softmax_loss,
+)
+from gcc_tpu.features import featurize_batch
+from gcc_tpu.graph.batch import PaddedSubgraphBatch
+from gcc_tpu.models import GraphEncoder
+from gcc_tpu.training.optim import build_optimizer
+from gcc_tpu.training.schedules import make_lr_schedule
+
+
+class PretrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    ema_params: Any        # key-encoder parameters (MoCo momentum copy)
+    ema_batch_stats: Any   # key encoder keeps its own BN buffers
+    queue: MoCoQueue
+    opt_state: Any
+    step: jax.Array
+    dropout_rng: jax.Array
+
+
+def create_pretrain_state(
+    rng: jax.Array, cfg: TrainConfig, sample_batch: PaddedSubgraphBatch,
+    total_steps: int,
+) -> tuple[PretrainState, GraphEncoder, optax.GradientTransformation]:
+    """Initialize encoder params (EMA = exact copy, reference
+    moment_update(m=0) train.py:623-624), queue, optimizer."""
+    enc = GraphEncoder(cfg.encoder)
+    init_rng, queue_rng, dropout_rng = jax.random.split(rng, 3)
+
+    # One jitted program for featurize+init: eager per-op dispatch is
+    # pathologically slow through remote-TPU relays.
+    @jax.jit
+    def _init(batch):
+        feats = featurize_batch(
+            batch, cfg.encoder.positional_embedding_size,
+            pe_method=cfg.encoder.pe_method,
+        )
+        return enc.init(init_rng, feats, train=False)
+
+    variables = _init(sample_batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    queue = init_queue(queue_rng, cfg.contrast.nce_k, cfg.encoder.output_size)
+    tx = build_optimizer(
+        cfg.optim,
+        make_lr_schedule(cfg.optim.learning_rate, total_steps,
+                         cfg.optim.warmup),
+    )
+    state = PretrainState(
+        params=params,
+        batch_stats=batch_stats,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        queue=queue,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        dropout_rng=dropout_rng,
+    )
+    return state, enc, tx
+
+
+def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx):
+    """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket."""
+    moco = cfg.contrast.moco
+    temperature = cfg.contrast.nce_t
+    alpha = cfg.contrast.alpha
+    pos_size = cfg.encoder.positional_embedding_size
+    pe_method = cfg.encoder.pe_method
+
+    def train_step(
+        state: PretrainState,
+        batch_q: PaddedSubgraphBatch,
+        batch_k: PaddedSubgraphBatch,
+    ):
+        rng, new_rng = jax.random.split(state.dropout_rng)
+        rng_q, rng_k = jax.random.split(rng)
+        feats_q = featurize_batch(batch_q, pos_size, pe_method=pe_method)
+        feats_k = featurize_batch(batch_k, pos_size, pe_method=pe_method)
+
+        if moco:
+            # Key encoder: EMA params, BN kept in train mode (batch stats,
+            # running buffers updated — reference train.py:360-365), no
+            # gradients.
+            k_emb, ema_mut = enc.apply(
+                {"params": state.ema_params,
+                 "batch_stats": state.ema_batch_stats},
+                feats_k, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng_k},
+            )
+            k_emb = jax.lax.stop_gradient(k_emb)
+
+            def loss_fn(params):
+                q_emb, mut = enc.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats_q, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_q},
+                )
+                logits = moco_logits(state.queue, q_emb, k_emb, temperature)
+                loss = nce_softmax_loss(
+                    logits, jnp.zeros(q_emb.shape[0], jnp.int32)
+                )
+                prob = logits[:, 0].mean()
+                return loss, (mut["batch_stats"], prob)
+
+            (loss, (new_stats, prob)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            # EMA after the optimizer step (reference train.py:430-431).
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: alpha * e + (1.0 - alpha) * p,
+                state.ema_params, new_params,
+            )
+            new_state = state._replace(
+                params=new_params,
+                batch_stats=new_stats,
+                ema_params=new_ema,
+                ema_batch_stats=ema_mut["batch_stats"],
+                queue=enqueue(state.queue, k_emb),
+                opt_state=new_opt_state,
+                step=state.step + 1,
+                dropout_rng=new_rng,
+            )
+        else:
+            # E2E: both views through the same encoder, in-batch negatives.
+            def loss_fn(params):
+                q_emb, mut_q = enc.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feats_q, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_q},
+                )
+                k_emb, mut_k = enc.apply(
+                    {"params": params, "batch_stats": mut_q["batch_stats"]},
+                    feats_k, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_k},
+                )
+                logits = e2e_logits(q_emb, k_emb, temperature)
+                labels = jnp.arange(q_emb.shape[0], dtype=jnp.int32)
+                loss = nce_softmax_loss(logits, labels)
+                prob = jnp.diagonal(logits).mean()
+                return loss, (mut_k["batch_stats"], prob)
+
+            (loss, (new_stats, prob)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state._replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+                dropout_rng=new_rng,
+            )
+
+        grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "prob": prob, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

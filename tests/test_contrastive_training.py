@@ -1,0 +1,153 @@
+"""Contrastive machinery + fused pretrain step tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gcc_tpu.config import (
+    ContrastConfig,
+    EncoderConfig,
+    OptimConfig,
+    SamplerConfig,
+    TrainConfig,
+)
+from gcc_tpu.contrastive import (
+    enqueue,
+    e2e_logits,
+    init_queue,
+    moco_logits,
+    nce_softmax_loss,
+)
+from gcc_tpu.graph.csr import CSRGraph
+from gcc_tpu.graph.batch import batch_subgraphs
+from gcc_tpu.sampling import sample_contrastive_pairs
+from gcc_tpu.training import create_pretrain_state, make_train_step
+from gcc_tpu.training.schedules import warmup_linear
+
+
+def test_queue_init_distribution():
+    q = init_queue(jax.random.PRNGKey(0), 1024, 64)
+    stdv = 1.0 / np.sqrt(64 / 3)
+    mem = np.asarray(q.memory)
+    assert mem.shape == (1024, 64)
+    assert mem.min() >= -stdv and mem.max() <= stdv
+    assert abs(mem.mean()) < 0.01
+
+
+def test_queue_ring_buffer_semantics():
+    q = init_queue(jax.random.PRNGKey(0), 8, 2)
+    k1 = jnp.ones((3, 2)) * 1
+    k2 = jnp.ones((3, 2)) * 2
+    k3 = jnp.ones((3, 2)) * 3
+    q = enqueue(q, k1)
+    assert int(q.index) == 3
+    q = enqueue(q, k2)
+    q = enqueue(q, k3)
+    # After 9 writes into K=8: positions 0..7 filled, position 8 wraps to 0.
+    assert int(q.index) == 1
+    mem = np.asarray(q.memory)
+    np.testing.assert_allclose(mem[0], [3, 3])  # wrapped last write
+    np.testing.assert_allclose(mem[1], [1, 1])
+    np.testing.assert_allclose(mem[3], [2, 2])
+    np.testing.assert_allclose(mem[6], [3, 3])
+
+
+def test_moco_logits_layout():
+    q = init_queue(jax.random.PRNGKey(0), 16, 4)
+    qe = jnp.ones((2, 4))
+    ke = jnp.ones((2, 4)) * 2
+    logits = moco_logits(q, qe, ke, temperature=0.5)
+    assert logits.shape == (2, 17)
+    np.testing.assert_allclose(np.asarray(logits)[:, 0], 8 / 0.5)
+
+
+def test_nce_loss_matches_ce():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 9)))
+    labels = jnp.zeros(4, jnp.int32)
+    loss = nce_softmax_loss(logits, labels)
+    ref = -np.mean(
+        [np.log(np.exp(l[0]) / np.exp(l).sum()) for l in np.asarray(logits)]
+    )
+    np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+
+
+def test_e2e_logits_diagonal_positive():
+    fq = jnp.eye(3, 8)
+    fk = jnp.eye(3, 8) * 2
+    logits = e2e_logits(fq, fk, 0.07)
+    np.testing.assert_allclose(
+        np.asarray(jnp.diagonal(logits)), 2 / 0.07, rtol=1e-5
+    )
+
+
+def test_warmup_linear():
+    np.testing.assert_allclose(float(warmup_linear(0.05, 0.1)), 0.5)
+    np.testing.assert_allclose(float(warmup_linear(0.1, 0.1)), 1.0)
+    np.testing.assert_allclose(float(warmup_linear(0.55, 0.1)), 0.5)
+    np.testing.assert_allclose(float(warmup_linear(1.0, 0.1)), 0.0)
+
+
+def _toy_pipeline(moco: bool, steps: int = 12):
+    rng = np.random.default_rng(0)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 300, 1500), rng.integers(0, 300, 1500),
+        num_nodes=300, symmetrize=True,
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        sampler=SamplerConfig(rw_hops=12),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=moco, nce_k=64),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    qs, ks = sample_contrastive_pairs(
+        g, rng.integers(0, 300, 8), cfg.sampler, rng_seed=0
+    )
+    bq = batch_subgraphs(qs, n_max=32, e_max=256)
+    bk = batch_subgraphs(ks, n_max=32, e_max=256)
+    state, enc, tx = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, bq, total_steps=100
+    )
+    step_fn = make_train_step(cfg, enc, tx)
+    losses = []
+    for i in range(steps):
+        qs, ks = sample_contrastive_pairs(
+            g, rng.integers(0, 300, 8), cfg.sampler, rng_seed=i + 1
+        )
+        bq = batch_subgraphs(qs, n_max=32, e_max=256)
+        bk = batch_subgraphs(ks, n_max=32, e_max=256)
+        state, metrics = step_fn(state, bq, bk)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def test_pretrain_step_e2e_loss_decreases():
+    losses, state = _toy_pipeline(moco=False)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+
+
+def test_pretrain_step_moco_trains():
+    # MoCo over a short horizon is noisy (warmup LR, near-frozen key
+    # encoder): require finite losses, no blow-up, and moving parameters.
+    losses, state = _toy_pipeline(moco=True, steps=20)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) + 0.5, losses
+    assert int(state.step) == 20
+
+
+def test_moco_updates_ema_and_queue():
+    _, state = _toy_pipeline(moco=True, steps=3)
+    # Queue pointer advanced 3 * 8 = 24 positions.
+    assert int(state.queue.index) == 24
+    # EMA params moved away from exact copy of params but stayed close.
+    p = jax.tree_util.tree_leaves(state.params)
+    e = jax.tree_util.tree_leaves(state.ema_params)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(p, e)]
+    assert max(diffs) > 0
