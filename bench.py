@@ -34,8 +34,11 @@ import numpy as np
 REFERENCE_EDGE_MSGS_PER_S = 2.0e6
 
 BATCH_SIZE = 32
-N_MAX = 512
-E_MAX = 8192
+# Bucket sized to the measured subgraph distribution at rw_hops=256 /
+# restart 0.8 (p99: 141 nodes / 282 edges; max observed 550/1148): 256
+# nodes truncates <0.1% of samples, 2048 edges truncates none.
+N_MAX = 256
+E_MAX = 2048
 RW_HOPS = 256
 NCE_K = 16384
 WARMUP_STEPS = 8
@@ -76,9 +79,10 @@ def main():
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
         bq, bk = next(pipe)
         state, enc, tx = create_pretrain_state(
-            jax.random.PRNGKey(0), cfg, jax.device_put(bq), total_steps=100_000
+            jax.random.PRNGKey(0), cfg, jax.device_put(bq),
+            total_steps=100_000, n_max=N_MAX,
         )
-        step_fn = make_train_step(cfg, enc, tx)
+        step_fn = make_train_step(cfg, enc, tx, n_max=N_MAX)
 
         for _ in range(WARMUP_STEPS):
             bq, bk = next(pipe)
@@ -91,7 +95,7 @@ def main():
         for _ in range(MEASURE_STEPS):
             bq, bk = next(pipe)
             edge_messages += float(
-                np.asarray(bq.edge_weight).sum() + np.asarray(bk.edge_weight).sum()
+                int(np.asarray(bq.n_edges).sum()) + int(np.asarray(bk.n_edges).sum())
             ) * num_conv_layers
             state, metrics = step_fn(state, jax.device_put(bq),
                                      jax.device_put(bk))
@@ -108,7 +112,8 @@ def main():
             "step_ms": round(elapsed / MEASURE_STEPS * 1000, 2),
             "steps_per_s": round(MEASURE_STEPS / elapsed, 2),
             "loss": round(float(metrics["loss"]), 4),
-            "config": "moco k=16384 b=32 gin5x64 rw256 bucket(512,8192)",
+            "config": f"moco k={NCE_K} b={BATCH_SIZE} gin5x64 rw{RW_HOPS} "
+                      f"bucket({N_MAX},{E_MAX})",
         },
     }))
 

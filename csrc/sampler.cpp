@@ -267,6 +267,73 @@ void gcc_random_walk(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// Fused wire-format sampler: contrastive (query, key) pair sampling with
+// outputs written directly as int16 local-id edge arrays — the exact
+// host->device wire layout (gcc_tpu/graph/batch.py WireBatch). One call
+// per super-batch keeps the GIL released for the whole sampling+packing
+// stage, so Python-side training dispatch overlaps fully.
+//
+//   budgets_q/budgets_k: per-seed visit thresholds for the two views
+//   q/k use independent RNG streams (2*sample_id, 2*sample_id+1),
+//   matching the Python-level pair sampler.
+void gcc_sample_wire_pairs(
+    const int64_t* indptr, const int32_t* indices, int64_t num_nodes,
+    const int64_t* seeds_q, const int64_t* seeds_k, int64_t num_seeds,
+    const int64_t* budgets_q, const int64_t* budgets_k,
+    double restart_prob, int32_t aug, int64_t expand, int64_t hops,
+    uint64_t rng_seed, const int64_t* sample_ids,
+    int64_t node_cap, int64_t e_cap, int32_t n_threads,
+    int16_t* q_src, int16_t* q_dst, int32_t* q_n, int32_t* q_e,
+    int16_t* k_src, int16_t* k_dst, int32_t* k_n, int32_t* k_e) {
+  const Csr g{indptr, indices, num_nodes};
+  if (n_threads < 1) n_threads = 1;
+
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    VisitSet set;
+    set.ensure(num_nodes);
+    std::vector<int32_t> es(e_cap), ed(e_cap);
+    while (true) {
+      const int64_t t = next.fetch_add(1);
+      if (t >= 2 * num_seeds) break;
+      const int64_t i = t >> 1;
+      const bool is_k = t & 1;
+      const int64_t sid = sample_ids ? sample_ids[i] : i;
+      uint64_t stream = rng_seed ^
+          (0xD1B54A32D192ED03ULL * (uint64_t)(2 * sid + (is_k ? 1 : 0)));
+      Rng rng(stream);
+      set.reset();
+      const int64_t seed = is_k ? seeds_k[i] : seeds_q[i];
+      const int64_t budget = is_k ? budgets_k[i] : budgets_q[i];
+      if (aug == 0) {
+        rwr_visit(g, seed, restart_prob, budget, node_cap, rng, set);
+      } else {
+        ns_visit(g, seed, expand, hops, node_cap, rng, set);
+      }
+      const int64_t n = (int64_t)set.nodes.size();
+      const int64_t e_full = induced_edges(g, set, es.data(), ed.data(), e_cap);
+      const int64_t e = e_full < e_cap ? e_full : e_cap;
+      int16_t* osrc = (is_k ? k_src : q_src) + i * e_cap;
+      int16_t* odst = (is_k ? k_dst : q_dst) + i * e_cap;
+      for (int64_t j = 0; j < e; ++j) {
+        osrc[j] = (int16_t)es[j];
+        odst[j] = (int16_t)ed[j];
+      }
+      (is_k ? k_n : q_n)[i] = (int32_t)n;
+      (is_k ? k_e : q_e)[i] = (int32_t)e;
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+}
+
 // Degree-biased seed sampling over a node range: draw `count` node ids with
 // probability proportional to degree^power (the reference's deg^0.75 node
 // sampling, graph_dataset.py:86-92). Uses the alias-free inverse-CDF on a

@@ -166,11 +166,52 @@ def cmd_generate(args):
     print(f"saved {emb.shape} -> {out}")
 
 
+def cmd_finetune(args):
+    import jax
+
+    from gcc_tpu.data.formats import GRAPH_CLASSIFICATION_DSETS
+    from gcc_tpu.training.checkpoint import load_checkpoint, load_config
+    from gcc_tpu.training.finetune import (
+        GraphLabeledData, NodeLabeledData, run_finetune_cv,
+    )
+
+    pretrained_params = pretrained_stats = None
+    if args.ckpt:
+        run_dir = os.path.dirname(args.ckpt)
+        cfg = load_config(run_dir)
+        state = load_checkpoint(args.ckpt)
+        pretrained_params = state["params"]
+        pretrained_stats = state.get("batch_stats", {})
+    else:
+        cfg = _cfg_from_args(args)
+    cfg = dataclasses.replace(cfg, epochs=args.epochs, seed=args.seed,
+                              batch_size=args.batch_size)
+
+    if args.dataset in GRAPH_CLASSIFICATION_DSETS:
+        from gcc_tpu.data.tu import load_tu_dataset
+
+        graphs, labels = load_tu_dataset(args.dataset, args.data_root)
+        data = GraphLabeledData(graphs, labels, n_max=args.n_max,
+                                e_max=args.e_max)
+    else:
+        from gcc_tpu.data.formats import create_node_classification_dataset
+
+        nd = create_node_classification_dataset(args.dataset, args.data_root)
+        data = NodeLabeledData(nd.graph, nd.y, cfg, n_max=args.n_max,
+                               e_max=args.e_max)
+    folds = range(10) if args.cv else [args.fold_idx]
+    res = run_finetune_cv(cfg, data, pretrained_params, pretrained_stats,
+                          folds=folds)
+    print(res)
+
+
 def cmd_eval_node(args):
     from gcc_tpu.tasks import NodeClassification
 
+    kwargs = {"emb_path": args.emb} if args.model == "from_numpy" else {}
     task = NodeClassification(args.dataset, args.hidden_size, args.seed,
-                              emb_path=args.emb, data_root=args.data_root)
+                              model=args.model, data_root=args.data_root,
+                              **kwargs)
     print(task.train())
 
 
@@ -178,7 +219,8 @@ def cmd_eval_graph(args):
     from gcc_tpu.tasks import GraphClassification
 
     task = GraphClassification(args.dataset, args.hidden_size, args.seed,
-                               emb_path=args.emb, data_root=args.data_root)
+                               model="from_numpy_graph", emb_path=args.emb,
+                               data_root=args.data_root)
     print(task.train())
 
 
@@ -187,6 +229,7 @@ def cmd_eval_sim(args):
 
     d1, d2 = args.dataset.split("_")
     task = SimilaritySearch(d1, d2, args.hidden_size,
+                            model="from_numpy_align",
                             emb_path_1=args.emb1, emb_path_2=args.emb2,
                             data_root=args.data_root)
     print(task.train())
@@ -215,6 +258,15 @@ def main(argv=None):
     _add_train_flags(p)
     p.set_defaults(fn=cmd_pretrain)
 
+    p = sub.add_parser("finetune")
+    p.add_argument("--ckpt", default="",
+                   help="pretrained checkpoint (omit to train from scratch)")
+    p.add_argument("--cv", action="store_true", help="run all 10 folds")
+    p.add_argument("--fold-idx", type=int, default=0)
+    p.add_argument("--data-root", default="data")
+    _add_train_flags(p)  # includes --n-max/--e-max bucket flags
+    p.set_defaults(fn=cmd_finetune)
+
     p = sub.add_parser("generate")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--dataset", required=True)
@@ -227,7 +279,9 @@ def main(argv=None):
     for name, fn in [("eval-node", cmd_eval_node), ("eval-graph", cmd_eval_graph)]:
         p = sub.add_parser(name)
         p.add_argument("--dataset", required=True)
-        p.add_argument("--emb", required=True)
+        p.add_argument("--emb", default="")
+        p.add_argument("--model", default="from_numpy",
+                       help="embedding source: from_numpy/prone/graphwave/zero")
         p.add_argument("--hidden-size", type=int, default=64)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--data-root", default="data")

@@ -34,6 +34,18 @@ from gcc_tpu.ops.aggregate import build_dense_adjacency, node_degrees
 _PAD_EIGENVALUE = -2.0
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas PE path: default on TPU backends (2.1x over the XLA
+    op-by-op fallback, which is launch-overhead-bound); CPU tests always
+    use the XLA fallback. Opt out with GCC_TPU_PE_PALLAS=0."""
+    import os
+
+    import jax
+
+    return (os.environ.get("GCC_TPU_PE_PALLAS", "1") == "1"
+            and jax.default_backend() == "tpu")
+
+
 def normalized_adjacency(
     batch: PaddedSubgraphBatch, adj: jax.Array | None = None
 ) -> jax.Array:
@@ -138,30 +150,54 @@ def _subspace_topk(
     q = q * batch.node_mask[:, :, None]
 
     def colnorm(q):
-        # Column scale-normalization keeps the Gram matrix conditioned for
-        # CholeskyQR; rank-deficient graphs (n ≤ k) stay finite.
+        # Column scale-normalization keeps the Gram matrix conditioned;
+        # rank-deficient graphs (n ≤ k) stay finite.
         norm = jnp.linalg.norm(q, axis=1, keepdims=True)
         return q / jnp.maximum(norm, 1e-20)
 
-    def orth(q):
-        # CholeskyQR: G = QᵀQ, Q ← Q R⁻¹ with G = RᵀR.
+    eye_k = jnp.eye(k, dtype=m.dtype)
+
+    def orth_ns(q, steps: int = 3):
+        # Newton-Schulz orthonormalization: Q ← (3Q − Q QᵀQ)/2 after
+        # scaling σ_max(Q) ≤ 1 (column-normalize then /√k). Pure matmuls
+        # (MXU-friendly, fusable) — no Cholesky/triangular-solve, which
+        # run as slow unfused small kernels on TPU. Partial
+        # orthogonalization between power iterations is enough to keep
+        # the basis conditioned; the final CholeskyQR is exact.
+        q = colnorm(q) * (1.0 / jnp.sqrt(1.0 * k))
+        for _ in range(steps):
+            gram = jnp.einsum("bni,bnj->bij", q, q)
+            q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, gram)
+        return jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
+
+    def orth_chol(q):
+        # Exact CholeskyQR for the final basis (one per call).
         q = colnorm(q)
         gram = jnp.einsum("bni,bnj->bij", q, q)
-        r = jnp.linalg.cholesky(gram + 1e-5 * jnp.eye(k, dtype=q.dtype))
+        r = jnp.linalg.cholesky(gram + 1e-5 * eye_k)
         q = jax.lax.linalg.triangular_solve(
             r, q, left_side=False, lower=True, transpose_a=True
         )
         return jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
 
-    q = orth(q)
-    for i in range(iters):
-        q = jax.lax.dot_general(
-            m_shift, q,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        if (i + 1) % orth_every == 0 or i == iters - 1:
-            q = orth(q)
+    if _use_pallas():
+        # Fused single-kernel iteration (see ops/pe_pallas.py): the XLA
+        # op-by-op path is launch-overhead-bound at these sizes.
+        from gcc_tpu.ops.pe_pallas import pe_subspace_iterate
+
+        q = pe_subspace_iterate(m_shift, colnorm(q), iters=iters,
+                                orth_every=orth_every)
+    else:
+        q = orth_chol(q)
+        for i in range(iters):
+            q = jax.lax.dot_general(
+                m_shift, q,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if (i + 1) % orth_every == 0 and i != iters - 1:
+                q = orth_ns(q)
+    q = orth_chol(q)
 
     # Rayleigh-Ritz: rotate the converged subspace onto Ritz vectors —
     # resolves the slow per-column convergence of clustered eigenvalues

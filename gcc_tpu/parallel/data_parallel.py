@@ -1,0 +1,68 @@
+"""Data-parallel sharding for the pretrain step.
+
+Scale-out model (SURVEY.md §2c — the reference is single-GPU; this is
+the added capability): batch sharded over the "data" mesh axis,
+parameters/optimizer/EMA replicated (64-hidden model: replication is
+free, gradients psum via GSPMD), MoCo queue memory sharded over "data"
+rows so each device stores K/D negatives — logits against all negatives
+materialize through an ICI all-gather that XLA inserts from the sharding
+annotations, and each device's enqueue touches only its own rows modulo
+the ring arithmetic.
+
+The train-step *math* is identical to the single-device step (it is the
+same traced function); this module only supplies sharding placements, so
+single-chip and N-chip runs are bit-identical up to reduction order.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcc_tpu.training.pretrain import PretrainState
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data"):
+    """Sharding tree for WireBatch/PaddedSubgraphBatch leaves: dim 0 is
+    the batch dim for every field."""
+    return NamedSharding(mesh, P(axis))
+
+
+def state_shardings(mesh: Mesh, state: PretrainState) -> PretrainState:
+    """Placement tree: queue memory row-sharded, everything else
+    replicated."""
+    repl = NamedSharding(mesh, P())
+    def place(x):
+        return repl
+
+    placements = jax.tree_util.tree_map(place, state)
+    placements = placements._replace(
+        queue=state.queue._replace(
+            memory=NamedSharding(mesh, P("data")),
+            index=repl,
+        )
+    )
+    return placements
+
+
+def shard_state(mesh: Mesh, state: PretrainState) -> PretrainState:
+    return jax.device_put(state, state_shardings(mesh, state))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    return jax.device_put(batch, batch_sharding(mesh, axis))
+
+
+def make_dp_train_step(cfg, enc, tx, mesh: Mesh, n_max: int | None = None):
+    """The standard train step jitted with explicit DP shardings."""
+    from gcc_tpu.training.pretrain import make_train_step
+
+    # make_train_step returns a jitted fn; rebuild the raw fn with
+    # shardings by reaching for its wrapped python function.
+    jitted = make_train_step(cfg, enc, tx, n_max=n_max)
+    raw = jitted.__wrapped__
+
+    def wrapper(state, batch_q, batch_k):
+        return raw(state, batch_q, batch_k)
+
+    return jax.jit(wrapper, donate_argnums=(0,))

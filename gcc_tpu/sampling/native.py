@@ -59,8 +59,74 @@ def _load():
     lib.gcc_weighted_sample.argtypes = [
         f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p,
     ]
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.gcc_sample_wire_pairs.argtypes = [
+        i64p, i32p, ctypes.c_int64,          # csr
+        i64p, i64p, ctypes.c_int64,          # seeds_q, seeds_k, num
+        i64p, i64p,                          # budgets
+        ctypes.c_double, ctypes.c_int32,     # restart, aug
+        ctypes.c_int64, ctypes.c_int64,      # expand, hops
+        ctypes.c_uint64, i64p,               # rng_seed, sample_ids
+        ctypes.c_int64, ctypes.c_int64,      # node_cap, e_cap
+        ctypes.c_int32,                      # threads
+        i16p, i16p, i32p, i32p,              # q outputs
+        i16p, i16p, i32p, i32p,              # k outputs
+    ]
     _lib = lib
     return lib
+
+
+def sample_wire_pairs(
+    g: CSRGraph,
+    seeds_q: np.ndarray,
+    seeds_k: np.ndarray,
+    budgets_q: np.ndarray,
+    budgets_k: np.ndarray,
+    restart_prob: float,
+    aug: str,
+    expand: int,
+    hops: int,
+    rng_seed: int,
+    sample_ids: np.ndarray,
+    node_cap: int,
+    e_cap: int,
+    n_threads: int = 1,
+    out=None,
+):
+    """Fused pair sampling straight into int16 wire buffers (GIL released
+    for the whole call). Returns 8 arrays:
+    (q_src, q_dst, q_n, q_e, k_src, k_dst, k_n, k_e).
+
+    `out` may carry preallocated arrays of the right shapes to avoid
+    per-call allocation. Requires the native library (no numpy fallback —
+    callers fall back to :func:`sample_subgraphs` twice)."""
+    lib = _load()
+    assert lib is not None, "native sampler library required"
+    s = len(seeds_q)
+    if out is None:
+        out = tuple(
+            np.zeros((s, e_cap), np.int16) if j % 4 < 2
+            else np.zeros(s, np.int32)
+            for j in range(8)
+        )
+    q_src, q_dst, q_n, q_e, k_src, k_dst, k_n, k_e = out
+    lib.gcc_sample_wire_pairs(
+        np.ascontiguousarray(g.indptr, np.int64),
+        np.ascontiguousarray(g.indices, np.int32),
+        g.num_nodes,
+        np.ascontiguousarray(seeds_q, np.int64),
+        np.ascontiguousarray(seeds_k, np.int64),
+        s,
+        np.ascontiguousarray(budgets_q, np.int64),
+        np.ascontiguousarray(budgets_k, np.int64),
+        float(restart_prob), {"rwr": 0, "ns": 1}[aug], expand, hops,
+        rng_seed & (2**64 - 1),
+        np.ascontiguousarray(sample_ids, np.int64),
+        node_cap, e_cap, n_threads,
+        q_src.reshape(-1), q_dst.reshape(-1), q_n, q_e,
+        k_src.reshape(-1), k_dst.reshape(-1), k_n, k_e,
+    )
+    return out
 
 
 def native_available() -> bool:

@@ -26,15 +26,13 @@ from typing import Iterator
 import numpy as np
 
 from gcc_tpu.config import SamplerConfig
-from gcc_tpu.graph.batch import (
-    PaddedSubgraphBatch,
-    Subgraph,
-    batch_subgraphs,
-    pick_bucket,
-)
+from gcc_tpu.graph.batch import WireBatch
 from gcc_tpu.graph.corpus import CorpusStore, partition_graphs
 from gcc_tpu.sampling import native
-from gcc_tpu.sampling.sampler import rwr_budgets, sample_contrastive_pairs
+from gcc_tpu.sampling.sampler import (
+    rwr_budgets,
+    sample_contrastive_pairs_raw,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +52,9 @@ class PipelineConfig:
     # "process": forked worker processes (multi-core hosts without a
     #   remote-TPU client in the parent).
     mode: str = "thread"
+    # Pairs sampled per native-sampler call: one big C++ call is sliced
+    # into `super_batch` wire pairs, amortizing the Python call overhead.
+    super_batch: int = 4
 
 
 class ShardSampler:
@@ -74,9 +75,20 @@ class ShardSampler:
             [0] + [g.num_nodes for g in self.graphs]
         )
         self._sample_counter = 0
+        self._ready: list = []
 
-    def next_pair(self) -> tuple[PaddedSubgraphBatch, PaddedSubgraphBatch]:
-        bsz = self.pcfg.batch_size
+    def next_pair(self) -> tuple[WireBatch, WireBatch]:
+        if not self._ready:
+            self._ready = list(self._sample_super_batch())
+        return self._ready.pop(0)
+
+    def _sample_super_batch(self):
+        """Sample `super_batch` (query, key) pairs in one fused native
+        call that writes int16 wire buffers directly — the GIL stays
+        released for the whole sampling+packing stage, and the Python
+        cost per pair is a couple of array slices."""
+        bsz = self.pcfg.batch_size * max(1, self.pcfg.super_batch)
+        e_max = self.pcfg.e_max
         base = self._sample_counter
         self._sample_counter += bsz
         flat = native.weighted_sample(
@@ -86,26 +98,63 @@ class ShardSampler:
         gidx = np.searchsorted(self.offsets, flat, side="right") - 1
         nidx = flat - self.offsets[gidx]
 
-        qs: list[Subgraph] = []
-        ks: list[Subgraph] = []
+        q_src = np.zeros((bsz, e_max), np.int16)
+        q_dst = np.zeros((bsz, e_max), np.int16)
+        k_src = np.zeros((bsz, e_max), np.int16)
+        k_dst = np.zeros((bsz, e_max), np.int16)
+        counts = np.zeros((4, bsz), np.int32)  # q_n, q_e, k_n, k_e
+
+        # The fused path assumes key seed == query seed (step_dist[0]==1,
+        # the default); the generic path handles step_dist walks.
+        use_fused = (native.native_available()
+                     and self.cfg.step_dist[0] == 1.0)
         for g_id in np.unique(gidx):
             mask = gidx == g_id
-            sub_q, sub_k = sample_contrastive_pairs(
-                self.graphs[int(g_id)],
-                nidx[mask],
-                self.cfg,
-                rng_seed=self.rng_seed,
-                sample_ids=base + np.where(mask)[0],
-                n_threads=self.pcfg.threads_per_worker,
-                node_cap=self.pcfg.n_max,
-                e_cap=self.pcfg.e_max,
-            )
-            qs.extend(sub_q)
-            ks.extend(sub_k)
-        return (
-            batch_subgraphs(qs, n_max=self.pcfg.n_max, e_max=self.pcfg.e_max),
-            batch_subgraphs(ks, n_max=self.pcfg.n_max, e_max=self.pcfg.e_max),
-        )
+            rows = np.where(mask)[0]
+            graph = self.graphs[int(g_id)]
+            seeds = nidx[mask]
+            ids = base + rows
+            if use_fused:
+                budgets = rwr_budgets(graph, seeds, self.cfg,
+                                      degree_power=True)
+                out = native.sample_wire_pairs(
+                    graph, seeds, seeds, budgets, budgets,
+                    self.cfg.restart_prob, self.cfg.aug,
+                    self.cfg.num_neighbors, self.cfg.rw_hops,
+                    self.rng_seed, ids, self.pcfg.n_max, e_max,
+                    n_threads=self.pcfg.threads_per_worker,
+                )
+                q_src[rows], q_dst[rows] = out[0], out[1]
+                counts[0][rows], counts[1][rows] = out[2], out[3]
+                k_src[rows], k_dst[rows] = out[4], out[5]
+                counts[2][rows], counts[3][rows] = out[6], out[7]
+            else:
+                out_q, out_k = sample_contrastive_pairs_raw(
+                    graph, seeds, self.cfg, rng_seed=self.rng_seed,
+                    sample_ids=ids,
+                    n_threads=self.pcfg.threads_per_worker,
+                    node_cap=self.pcfg.n_max, e_cap=e_max,
+                )
+                q_src[rows] = out_q.src
+                q_dst[rows] = out_q.dst
+                counts[0][rows], counts[1][rows] = out_q.n, out_q.e
+                k_src[rows] = out_k.src
+                k_dst[rows] = out_k.dst
+                counts[2][rows], counts[3][rows] = out_k.n, out_k.e
+
+        pairs = []
+        step = self.pcfg.batch_size
+        for lo in range(0, bsz, step):
+            hi = lo + step
+            pairs.append((
+                WireBatch(src=q_src[lo:hi], dst=q_dst[lo:hi],
+                          n_nodes=counts[0, lo:hi], n_edges=counts[1, lo:hi],
+                          seed_pos=np.zeros(step, np.int32)),
+                WireBatch(src=k_src[lo:hi], dst=k_dst[lo:hi],
+                          n_nodes=counts[2, lo:hi], n_edges=counts[3, lo:hi],
+                          seed_pos=np.zeros(step, np.int32)),
+            ))
+        return pairs
 
 
 def _worker_main(store_path, graph_ids, cfg, pcfg, seed, out_q, stop_ev):

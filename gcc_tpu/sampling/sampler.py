@@ -110,6 +110,44 @@ def sample_contrastive_pairs(
     return _to_subgraphs(out_q), _to_subgraphs(out_k)
 
 
+def sample_contrastive_pairs_raw(
+    g: CSRGraph,
+    seeds: np.ndarray,
+    cfg: SamplerConfig,
+    rng_seed: int = 0,
+    sample_ids: np.ndarray | None = None,
+    degree_power: bool = True,
+    n_threads: int = 1,
+    force_numpy: bool = False,
+    node_cap: int | None = None,
+    e_cap: int | None = None,
+) -> tuple[native.SampledSubgraphs, native.SampledSubgraphs]:
+    """Like :func:`sample_contrastive_pairs` but returns the native
+    sampler's padded array form directly — zero per-graph Python work,
+    ready for :func:`gcc_tpu.graph.batch.wire_from_arrays`."""
+    seeds = np.asarray(seeds, np.int64)
+    s = len(seeds)
+    if sample_ids is None:
+        sample_ids = np.arange(s, dtype=np.int64)
+    k_seeds = _key_seeds(g, seeds, cfg, rng_seed, sample_ids, force_numpy)
+    budgets_q = rwr_budgets(g, seeds, cfg, degree_power)
+    budgets_k = rwr_budgets(g, k_seeds, cfg, degree_power)
+    if node_cap is None:
+        node_cap = int(max(budgets_q.max(initial=1), budgets_k.max(initial=1))) + 1
+    common = dict(
+        restart_prob=cfg.restart_prob, aug=cfg.aug, expand=cfg.num_neighbors,
+        hops=cfg.rw_hops, rng_seed=rng_seed, node_cap=node_cap, e_cap=e_cap,
+        n_threads=n_threads, force_numpy=force_numpy,
+    )
+    out_q = native.sample_subgraphs(
+        g, seeds, budgets_q, sample_ids=2 * sample_ids, **common
+    )
+    out_k = native.sample_subgraphs(
+        g, k_seeds, budgets_k, sample_ids=2 * sample_ids + 1, **common
+    )
+    return out_q, out_k
+
+
 def _to_subgraphs(s: native.SampledSubgraphs) -> list[Subgraph]:
     out = []
     for i in range(len(s.n)):

@@ -27,13 +27,15 @@ def evaluate_graph_embeddings(
 
 class GraphClassification:
     def __init__(self, dataset: str, hidden_size: int, seed: int = 0,
-                 emb_path: str = "", data_root: str = "data"):
+                 model: str = "from_numpy_graph", data_root: str = "data",
+                 **model_args):
         from gcc_tpu.data.tu import load_tu_dataset
+        from gcc_tpu.models.emb import build_model
 
         self.graphs, self.labels = load_tu_dataset(dataset, data_root)
+        self.model = build_model(model, hidden_size, **model_args)
         self.seed = seed
-        self.emb_path = emb_path
 
     def train(self) -> dict:
-        emb = np.load(self.emb_path)
+        emb = self.model.train(None)
         return evaluate_graph_embeddings(emb, self.labels, self.seed)

@@ -53,18 +53,21 @@ def evaluate_node_embeddings(
 
 
 class NodeClassification:
-    """Dataset + embedding-source wrapper mirroring the reference task CLI."""
+    """Dataset + embedding-source wrapper mirroring the reference task CLI
+    (node_classification.py:26-51): the embedding source is a registered
+    model ("from_numpy", "prone", "graphwave", "zero", ...)."""
 
     def __init__(self, dataset: str, hidden_size: int, seed: int = 0,
-                 emb_path: str = "", data_root: str = "data"):
+                 model: str = "from_numpy", data_root: str = "data",
+                 **model_args):
         from gcc_tpu.data.formats import create_node_classification_dataset
+        from gcc_tpu.models.emb import build_model
 
         self.data = create_node_classification_dataset(dataset, data_root)
-        self.hidden_size = hidden_size
+        self.model = build_model(model, hidden_size, **model_args)
         self.seed = seed
-        self.emb_path = emb_path
 
     def train(self) -> dict:
-        emb = np.load(self.emb_path)
+        emb = self.model.train(self.data.graph)
         assert emb.shape[0] == self.data.graph.num_nodes
         return evaluate_node_embeddings(emb, self.data.y, self.seed)

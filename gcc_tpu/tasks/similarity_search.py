@@ -35,17 +35,17 @@ def evaluate_similarity(
 
 class SimilaritySearch:
     def __init__(self, dataset_1: str, dataset_2: str, hidden_size: int,
-                 emb_path_1: str = "", emb_path_2: str = "",
-                 data_root: str = "data"):
+                 model: str = "from_numpy_align", data_root: str = "data",
+                 **model_args):
         from gcc_tpu.data.formats import SSDataset
+        from gcc_tpu.models.emb import build_model
 
         self.data = SSDataset(f"{data_root}/panther", dataset_1, dataset_2).data
-        self.emb_path_1 = emb_path_1
-        self.emb_path_2 = emb_path_2
+        self.model = build_model(model, hidden_size, **model_args)
 
     def train(self) -> dict:
-        emb_1 = np.load(self.emb_path_1)
-        emb_2 = np.load(self.emb_path_2)
+        emb_1 = self.model.train(self.data[0].graph)
+        emb_2 = self.model.train(self.data[1].graph)
         return evaluate_similarity(
             emb_1, emb_2, self.data[0].y, self.data[1].y
         )

@@ -50,9 +50,9 @@ def run_pretrain(
         bq0, bk0 = next(pipe)
         state, enc, tx = create_pretrain_state(
             jax.random.PRNGKey(cfg.seed), cfg, jax.device_put(bq0),
-            total_steps,
+            total_steps, n_max=pcfg.n_max,
         )
-        step_fn = make_train_step(cfg, enc, tx)
+        step_fn = make_train_step(cfg, enc, tx, n_max=pcfg.n_max)
 
         pending: list[tuple[int, dict]] = []
         loss_meter = AverageMeter()

@@ -27,7 +27,12 @@ from gcc_tpu.contrastive import (
     nce_softmax_loss,
 )
 from gcc_tpu.features import featurize_batch
-from gcc_tpu.graph.batch import PaddedSubgraphBatch
+from gcc_tpu.graph.batch import (
+    PaddedSubgraphBatch,
+    WireBatch,
+    concat_padded,
+    expand_wire,
+)
 from gcc_tpu.models import GraphEncoder
 from gcc_tpu.training.optim import build_optimizer
 from gcc_tpu.training.schedules import make_lr_schedule
@@ -44,12 +49,21 @@ class PretrainState(NamedTuple):
     dropout_rng: jax.Array
 
 
+def _as_padded(batch, n_max: int | None) -> PaddedSubgraphBatch:
+    if isinstance(batch, WireBatch):
+        assert n_max is not None, "n_max required to expand a WireBatch"
+        return expand_wire(batch, n_max)
+    return batch
+
+
 def create_pretrain_state(
-    rng: jax.Array, cfg: TrainConfig, sample_batch: PaddedSubgraphBatch,
-    total_steps: int,
+    rng: jax.Array, cfg: TrainConfig, sample_batch,
+    total_steps: int, n_max: int | None = None,
 ) -> tuple[PretrainState, GraphEncoder, optax.GradientTransformation]:
     """Initialize encoder params (EMA = exact copy, reference
-    moment_update(m=0) train.py:623-624), queue, optimizer."""
+    moment_update(m=0) train.py:623-624), queue, optimizer.
+
+    sample_batch may be a PaddedSubgraphBatch or a WireBatch (+ n_max)."""
     enc = GraphEncoder(cfg.encoder)
     init_rng, queue_rng, dropout_rng = jax.random.split(rng, 3)
 
@@ -58,7 +72,7 @@ def create_pretrain_state(
     @jax.jit
     def _init(batch):
         feats = featurize_batch(
-            batch, cfg.encoder.positional_embedding_size,
+            _as_padded(batch, n_max), cfg.encoder.positional_embedding_size,
             pe_method=cfg.encoder.pe_method,
         )
         return enc.init(init_rng, feats, train=False)
@@ -85,23 +99,31 @@ def create_pretrain_state(
     return state, enc, tx
 
 
-def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx):
-    """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket."""
+def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
+                    n_max: int | None = None):
+    """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket.
+
+    Accepts PaddedSubgraphBatch or WireBatch inputs (the latter are
+    expanded on device, keeping the host→device transfer compact)."""
     moco = cfg.contrast.moco
     temperature = cfg.contrast.nce_t
     alpha = cfg.contrast.alpha
     pos_size = cfg.encoder.positional_embedding_size
     pe_method = cfg.encoder.pe_method
 
-    def train_step(
-        state: PretrainState,
-        batch_q: PaddedSubgraphBatch,
-        batch_k: PaddedSubgraphBatch,
-    ):
+    def train_step(state: PretrainState, batch_q, batch_k):
+        batch_q = _as_padded(batch_q, n_max)
+        batch_k = _as_padded(batch_k, n_max)
         rng, new_rng = jax.random.split(state.dropout_rng)
         rng_q, rng_k = jax.random.split(rng)
-        feats_q = featurize_batch(batch_q, pos_size, pe_method=pe_method)
-        feats_k = featurize_batch(batch_k, pos_size, pe_method=pe_method)
+        # Featurize query+key in ONE stacked program (PE dominates step
+        # time as launch-bound small kernels; fusing halves their count).
+        bsz = batch_q.node_mask.shape[0]
+        feats_both = featurize_batch(
+            concat_padded(batch_q, batch_k), pos_size, pe_method=pe_method
+        )
+        feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], feats_both)
+        feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], feats_both)
 
         if moco:
             # Key encoder: EMA params, BN kept in train mode (batch stats,

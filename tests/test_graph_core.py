@@ -94,3 +94,52 @@ def test_config_roundtrip():
     cfg2 = TrainConfig.from_json(cfg.to_json())
     assert cfg2 == cfg
     assert "bsz_64" in cfg.run_name()
+
+
+def test_wire_batch_expand_matches_batch_subgraphs():
+    import jax
+    import numpy as np
+    from gcc_tpu.graph.batch import (
+        Subgraph, batch_subgraphs, expand_wire, wire_from_arrays,
+    )
+
+    rng = np.random.default_rng(0)
+    subs = []
+    srcs = np.zeros((3, 8), np.int32)
+    dsts = np.zeros((3, 8), np.int32)
+    ns = np.zeros(3, np.int32)
+    es = np.zeros(3, np.int32)
+    for i in range(3):
+        n = int(rng.integers(2, 5))
+        e = int(rng.integers(1, 7))
+        s = rng.integers(0, n, e).astype(np.int32)
+        d = rng.integers(0, n, e).astype(np.int32)
+        subs.append(Subgraph(src=s, dst=d, num_nodes=n))
+        srcs[i, :e] = s
+        dsts[i, :e] = d
+        ns[i], es[i] = n, e
+    ref = batch_subgraphs(subs, n_max=8, e_max=8)
+    wire = wire_from_arrays(srcs, dsts, ns, es)
+    got = jax.jit(lambda w: expand_wire(w, 8))(wire)
+    for field in ("edges_src", "edges_dst", "edge_weight", "node_mask",
+                  "seed_flag", "n_nodes"):
+        a = np.asarray(getattr(got, field))
+        b = np.asarray(getattr(ref, field))
+        # Padding edge endpoints may differ (base vs 0+base) — compare
+        # only where weight is nonzero for edge arrays.
+        if field in ("edges_src", "edges_dst"):
+            w = np.asarray(ref.edge_weight) > 0
+            np.testing.assert_array_equal(a[w], b[w])
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+def test_wire_from_arrays_truncates_columns():
+    import numpy as np
+    from gcc_tpu.graph.batch import wire_from_arrays
+
+    src = np.arange(12, dtype=np.int32).reshape(2, 6)
+    wire = wire_from_arrays(src, src, np.array([3, 3]), np.array([6, 2]),
+                            e_max=4)
+    assert wire.src.shape == (2, 4)
+    assert wire.n_edges.tolist() == [4, 2]

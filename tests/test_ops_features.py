@@ -239,3 +239,47 @@ def test_subspace_pe_padding_stays_zero():
     )
     nm = np.asarray(batch.node_mask)
     assert np.abs(pe[nm == 0]).max() == 0
+
+
+def test_pe_pallas_kernel_interpret_matches_xla():
+    # The fused Pallas PE iteration (interpret mode on CPU) must agree
+    # with the XLA op-by-op fallback on the converged subspace.
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from gcc_tpu.ops import pe_pallas
+
+    rng = np.random.default_rng(0)
+    b, n, k = 2, 32, 8
+    m = rng.normal(size=(b, n, n)).astype(np.float32)
+    m = (m + m.transpose(0, 2, 1)) / 2
+    q0 = rng.normal(size=(b, n, k)).astype(np.float32)
+
+    kernel = partial(pe_pallas._pe_kernel, iters=12, orth_every=4,
+                     ns_steps=3, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n, k), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, k), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, k), np.float32),
+        interpret=True,
+    )(jnp.asarray(m), jnp.asarray(q0))
+
+    # XLA reference of the same iteration.
+    q = jnp.asarray(q0)
+    for i in range(12):
+        q = jnp.einsum("bij,bjk->bik", jnp.asarray(m), q)
+        if (i + 1) % 4 == 0 and i != 11:
+            norm = jnp.sqrt((q * q).sum(axis=1, keepdims=True))
+            q = q / jnp.maximum(norm, 1e-20) / np.sqrt(k)
+            for _ in range(3):
+                g = jnp.einsum("bni,bnj->bij", q, q)
+                q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(q), rtol=2e-4,
+                               atol=2e-4)
