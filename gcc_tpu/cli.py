@@ -128,7 +128,10 @@ def cmd_pretrain(args):
         batch_size=cfg.batch_size, n_max=args.n_max, e_max=args.e_max,
         num_samples=cfg.num_samples, num_workers=cfg.num_workers,
     )
-    summary = run_pretrain(cfg, args.corpus, args.out, pcfg)
+    summary = run_pretrain(cfg, args.corpus, args.out, pcfg,
+                           resume=args.resume or None,
+                           tensorboard=args.tensorboard,
+                           profile_dir=args.profile_dir or None)
     print(summary)
 
 
@@ -255,6 +258,10 @@ def main(argv=None):
     p = sub.add_parser("pretrain")
     p.add_argument("--corpus", required=True)
     p.add_argument("--out", default="saved")
+    p.add_argument("--resume", default="", help="checkpoint path to resume")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace here")
     _add_train_flags(p)
     p.set_defaults(fn=cmd_pretrain)
 

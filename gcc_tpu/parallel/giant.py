@@ -1,0 +1,74 @@
+"""Giant-graph GIN encoding over a partitioned device mesh.
+
+The dense per-subgraph path (gcc_tpu/models/gin.py) is bounded by the
+RWR budget; whole-graph encodings of corpus-scale graphs (millions of
+nodes) do not fit one chip's dense adjacency. This module runs the same
+GIN encoder semantics over a graph whose edges are partitioned across
+the "part" mesh axis and whose node features are row-sharded:
+aggregation via :func:`partitioned_aggregate` (all-gather + local
+segment-sum + psum-scatter on ICI), MLPs/BN applied shard-locally, a
+global masked-sum readout per layer.
+
+Parameters are the standard GraphEncoder/UnsupervisedGIN params — a
+checkpoint pretrained on the subgraph path evaluates on giant graphs
+without conversion (same pytree paths, verified by test).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gcc_tpu.parallel.partitioned import PartitionedGraph, partitioned_aggregate
+
+
+def _linear(p, x):
+    return x @ p["kernel"] + p["bias"]
+
+
+def _bn_eval(p, s, x, eps=1e-5):
+    return (x - s["mean"]) * jax.lax.rsqrt(s["var"] + eps) * p["scale"] + p["offset"]
+
+
+def giant_gin_encode(
+    params: dict,
+    batch_stats: dict,
+    pg: PartitionedGraph,
+    node_feat: jax.Array,
+    node_mask: jax.Array,
+    mesh,
+    num_layers: int = 5,
+) -> jax.Array:
+    """Eval-mode GIN forward over a partitioned graph.
+
+    params/batch_stats: the GraphEncoder variables subtree
+    ``UnsupervisedGIN_0`` (plus heads). node_feat: (N, F_in) sharded over
+    "part"; node_mask: (N,) 1.0 for real nodes. Returns the graph-level
+    embedding (output_dim,), L2-normalized like the subgraph path.
+    """
+    gin_p = params["UnsupervisedGIN_0"]
+    gin_s = batch_stats["UnsupervisedGIN_0"]
+    h = node_feat * node_mask[:, None]
+    hidden_rep = [h]
+    for layer in range(num_layers - 1):
+        agg = h + partitioned_aggregate(pg, h, mesh)
+        mlp_p = gin_p[f"GINMLP_{layer}"]
+        mlp_s = gin_s[f"GINMLP_{layer}"]
+        z = _linear(mlp_p["Linear_0"], agg)
+        z = _bn_eval(mlp_p["MaskedBatchNorm_0"], mlp_s["MaskedBatchNorm_0"], z)
+        z = jax.nn.relu(z)
+        z = _linear(mlp_p["Linear_1"], z)
+        z = _bn_eval(gin_p[f"MaskedBatchNorm_{2 * layer}"],
+                     gin_s[f"MaskedBatchNorm_{2 * layer}"], z)
+        z = jax.nn.relu(z)
+        z = _bn_eval(gin_p[f"MaskedBatchNorm_{2 * layer + 1}"],
+                     gin_s[f"MaskedBatchNorm_{2 * layer + 1}"], z)
+        h = jax.nn.relu(z)
+        hidden_rep.append(h)
+
+    score = 0.0
+    for i, rep in enumerate(hidden_rep):
+        pooled = (rep * node_mask[:, None]).sum(axis=0)
+        score = score + _linear(gin_p[f"Linear_{i}"], pooled)
+    norm = jnp.linalg.norm(score)
+    return score / jnp.maximum(norm, 1e-5)

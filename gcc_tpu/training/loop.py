@@ -31,8 +31,17 @@ def run_pretrain(
     pcfg: PipelineConfig | None = None,
     log_fn: Callable[[str], None] = print,
     metrics_lag: int = 8,
+    resume: str | None = None,
+    tensorboard: bool = False,
+    profile_dir: str | None = None,
 ) -> dict:
-    """Train for cfg.epochs over the corpus; returns final summary dict."""
+    """Train for cfg.epochs over the corpus; returns final summary dict.
+
+    resume: checkpoint path — restores the FULL state including
+    optimizer moments and queue (the reference silently drops optimizer
+    state on resume, train.py:684-694; we keep it)."""
+    from gcc_tpu.utils.profiling import TensorBoardWriter, maybe_profile
+
     store = CorpusStore.open(corpus_path)
     pcfg = pcfg or PipelineConfig(
         batch_size=cfg.batch_size,
@@ -42,6 +51,7 @@ def run_pretrain(
     run_dir = os.path.join(out_dir, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
     metrics_path = os.path.join(run_dir, "metrics.jsonl")
+    tb = TensorBoardWriter(os.path.join(run_dir, "tb") if tensorboard else None)
 
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=cfg.seed) as pipe:
         steps_per_epoch = pipe.steps_per_epoch
@@ -52,6 +62,12 @@ def run_pretrain(
             jax.random.PRNGKey(cfg.seed), cfg, jax.device_put(bq0),
             total_steps, n_max=pcfg.n_max,
         )
+        if resume:
+            from gcc_tpu.training.checkpoint import load_checkpoint
+
+            restored = load_checkpoint(resume, abstract_state=state._asdict())
+            state = type(state)(**restored)
+            log_fn(f"resumed from {resume} at step {int(state.step)}")
         step_fn = make_train_step(cfg, enc, tx, n_max=pcfg.n_max)
 
         pending: list[tuple[int, dict]] = []
@@ -60,6 +76,8 @@ def run_pretrain(
         mfile = open(metrics_path, "a")
         global_step = 0
         t_start = time.time()
+        profiled = maybe_profile(profile_dir)
+        profiled.__enter__()
         for epoch in range(1, cfg.epochs + 1):
             t_epoch = time.time()
             data_t = 0.0
@@ -81,6 +99,8 @@ def run_pretrain(
                         {"step": s, "loss": loss,
                          "prob": float(m["prob"]),
                          "grad_norm": float(m["grad_norm"])}) + "\n")
+                    tb.scalar("moco_loss", loss, s)
+                    tb.scalar("moco_prob", float(m["prob"]), s)
                     if (s + 1) % cfg.print_freq == 0:
                         log_fn(
                             f"epoch {epoch} step {s + 1}/{total_steps} "
@@ -109,6 +129,8 @@ def run_pretrain(
                 "wall": time.time() - t_start,
             }
             loss_meter.reset()
+        profiled.__exit__(None, None, None)
         mfile.close()
+    tb.close()
     summary["run_dir"] = run_dir
     return summary

@@ -176,3 +176,20 @@ def test_pipeline_thread_mode(tmp_path):
         for _ in range(5):
             bq, bk = next(pipe)
             assert bq.batch_size == 4
+
+
+def test_run_pretrain_resume(tmp_path):
+    corpus = str(tmp_path / "c")
+    synthetic_corpus(corpus, num_graphs=1, nodes_per_graph=300, avg_degree=6)
+    cfg = tiny_cfg(moco=True, epochs=1)
+    pcfg = PipelineConfig(batch_size=8, n_max=32, e_max=512, num_samples=32,
+                          num_workers=0)
+    s1 = run_pretrain(cfg, corpus, str(tmp_path / "out"), pcfg,
+                      log_fn=lambda s: None)
+    ckpt = os.path.join(s1["run_dir"], "current")
+    s2 = run_pretrain(cfg, corpus, str(tmp_path / "out2"), pcfg,
+                      log_fn=lambda s: None, resume=ckpt)
+    # Resumed run continues from the saved step (4 + 4 steps).
+    assert s2["steps"] == 4
+    state = load_checkpoint(os.path.join(s2["run_dir"], "current"))
+    assert int(np.asarray(state["step"])) == 8

@@ -119,3 +119,60 @@ def test_dp_train_step_matches_single_device():
                                    rtol=1e-4)
         # Queue stays sharded over data.
         assert s2.queue.memory.sharding.spec in (P("data"), P("data",))
+
+
+def test_giant_gin_matches_dense_path():
+    """Whole-graph encoding via the partitioned path must equal the dense
+    single-chip path, using the same pretrained params."""
+    from gcc_tpu.config import EncoderConfig
+    from gcc_tpu.features import featurize_batch
+    from gcc_tpu.graph.batch import Subgraph, batch_subgraphs
+    from gcc_tpu.models import GraphEncoder
+    from gcc_tpu.parallel.giant import giant_gin_encode
+
+    rng = np.random.default_rng(0)
+    n = 24
+    src = rng.integers(0, n, 80)
+    dst = rng.integers(0, n, 80)
+    keep = src != dst
+    s = np.concatenate([src[keep], dst[keep]]).astype(np.int32)
+    d = np.concatenate([dst[keep], src[keep]]).astype(np.int32)
+    cfg = EncoderConfig(hidden_size=16, output_size=16,
+                        positional_embedding_size=8,
+                        degree_embedding_size=4, pe_method="eigh",
+                        final_dropout=0.0)
+
+    batch = batch_subgraphs([Subgraph(src=s, dst=d, num_nodes=n, seed=3)],
+                            n_max=32, e_max=256)
+    feats = featurize_batch(batch, cfg.positional_embedding_size)
+    enc = GraphEncoder(cfg)
+    variables = enc.init(jax.random.PRNGKey(0), feats, train=False)
+    dense_out = np.asarray(enc.apply(variables, feats, train=False))[0]
+
+    # Rebuild the same node features for the partitioned path (padded to
+    # the partition's node count).
+    d_dev = 8
+    pg = partition_edges(s, d, num_nodes=n, num_devices=d_dev)
+    pos = np.asarray(feats.pos)[0]                       # (32, 8)
+    deg = np.asarray(feats.degrees)[0]
+    seedf = np.asarray(feats.seed_flag)[0]
+    table = np.asarray(
+        variables["params"]["DegreeEmbedding_0"]["embedding"])
+    nf = np.concatenate(
+        [pos, table[np.clip(deg, 0, cfg.max_degree)], seedf[:, None]],
+        axis=-1).astype(np.float32)
+    mask = np.asarray(feats.node_mask)[0]
+    # Trim/pad to pg.num_nodes.
+    nf = nf[: pg.num_nodes]
+    mask = mask[: pg.num_nodes]
+
+    mesh = make_mesh(data=1, part=8)
+    from jax.sharding import NamedSharding
+
+    h = jax.device_put(jnp.asarray(nf), NamedSharding(mesh, P("part")))
+    m = jax.device_put(jnp.asarray(mask), NamedSharding(mesh, P("part")))
+    giant_out = np.asarray(giant_gin_encode(
+        variables["params"], variables["batch_stats"], pg, h, m, mesh,
+        num_layers=cfg.num_layers,
+    ))
+    np.testing.assert_allclose(giant_out, dense_out, atol=2e-4)
