@@ -47,6 +47,7 @@ class EncoderConfig:
     degree_input: bool = True
     norm: bool = True  # L2-normalize output embeddings
     final_dropout: float = 0.5
+    use_selayer: bool = False  # squeeze-excitation instead of BatchNorm
     num_heads: int = 4  # gat
     set2set_iter: int = 6
     set2set_lstm_layer: int = 3
@@ -81,6 +82,11 @@ class OptimConfig:
     momentum: float = 0.9  # sgd only
     clip_norm: float = 1.0
     warmup: float = 0.1  # triangular schedule peak position (train.py:412-414)
+    # Step decay past given epochs (reference adjust_learning_rate,
+    # misc.py:13-20; inert with the reference defaults since
+    # epochs=100 < 120).
+    lr_decay_epochs: tuple[int, ...] = (120, 160, 200)
+    lr_decay_rate: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,6 +54,7 @@ class GraphEncoder(nn.Module):
                 hidden_dim=cfg.hidden_size,
                 output_dim=cfg.output_size,
                 final_dropout=cfg.final_dropout,
+                use_selayer=cfg.use_selayer,
             )(n_feat, feats.adj, feats.node_mask, train=train)
         elif cfg.model == "gat":
             from gcc_tpu.models.gat import UnsupervisedGAT

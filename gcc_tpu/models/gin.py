@@ -30,12 +30,33 @@ from gcc_tpu.models.layers import Linear, MaskedBatchNorm
 from gcc_tpu.ops.aggregate import aggregate_sum_dense, graph_pool_sum
 
 
+class SELayer(nn.Module):
+    """Squeeze-and-excitation reweighting — the reference's optional
+    BatchNorm substitute (gin.py:16-39, enabled by use_selayer; the
+    global mean runs over real nodes only)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average=False):
+        se = max(1, int(self.channels ** 0.5))
+        m = mask[..., None]
+        count = jnp.maximum(mask.sum(), 1.0)
+        x_global = (x * m).sum(axis=tuple(range(x.ndim - 1))) / count
+        s = Linear(se)(x_global)
+        s = nn.elu(s)
+        s = Linear(self.channels)(s)
+        s = nn.sigmoid(s)
+        return x * s
+
+
 class GINMLP(nn.Module):
     """2-layer MLP with BN+ReLU on the hidden layer (reference MLP class)."""
 
     hidden_dim: int
     output_dim: int
     num_layers: int = 2
+    use_selayer: bool = False
 
     @nn.compact
     def __call__(self, x, mask, use_running_average):
@@ -44,7 +65,10 @@ class GINMLP(nn.Module):
         h = x
         for _ in range(self.num_layers - 1):
             h = Linear(self.hidden_dim)(h)
-            h = MaskedBatchNorm()(h, mask, use_running_average)
+            if self.use_selayer:
+                h = SELayer(self.hidden_dim)(h, mask)
+            else:
+                h = MaskedBatchNorm()(h, mask, use_running_average)
             h = nn.relu(h)
         return Linear(self.output_dim)(h)
 
@@ -55,6 +79,7 @@ class UnsupervisedGIN(nn.Module):
     hidden_dim: int = 64
     output_dim: int = 64
     final_dropout: float = 0.5
+    use_selayer: bool = False
 
     @nn.compact
     def __call__(self, h, adj, node_mask, train: bool = True):
@@ -63,15 +88,20 @@ class UnsupervisedGIN(nn.Module):
         Returns (score: (B, output_dim), pooled: list of (B, hidden_dim)).
         """
         ura = not train  # use running averages in eval mode
+
+        def norm(z):
+            if self.use_selayer:
+                return SELayer(self.hidden_dim)(z, node_mask)
+            return MaskedBatchNorm()(z, node_mask, ura)
+
         hidden_rep = [h]
         for _ in range(self.num_layers - 1):
             agg = h + aggregate_sum_dense(h, adj)
-            z = GINMLP(self.hidden_dim, self.hidden_dim, self.num_mlp_layers)(
-                agg, node_mask, ura
-            )
-            z = MaskedBatchNorm()(z, node_mask, ura)  # ApplyNodeFunc BN
+            z = GINMLP(self.hidden_dim, self.hidden_dim, self.num_mlp_layers,
+                       self.use_selayer)(agg, node_mask, ura)
+            z = norm(z)  # ApplyNodeFunc norm
             z = nn.relu(z)
-            z = MaskedBatchNorm()(z, node_mask, ura)  # outer loop BN
+            z = norm(z)  # outer loop norm
             h = nn.relu(z)
             hidden_rep.append(h)
 

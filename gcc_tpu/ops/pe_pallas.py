@@ -24,25 +24,31 @@ from jax.experimental.pallas import tpu as pltpu
 def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
                ns_steps: int, k: int):
     m = m_ref[0]
-    q = q0_ref[0]
     inv_sqrt_k = 1.0 / (k ** 0.5)
-    for i in range(iters):
-        q = jnp.dot(m, q, preferred_element_type=jnp.float32)
-        if (i + 1) % orth_every == 0 and i != iters - 1:
-            # Column normalize, then Newton-Schulz: Q ← (3Q − Q QᵀQ)/2.
-            norm = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
-            q = q / jnp.maximum(norm, 1e-20) * inv_sqrt_k
-            for _ in range(ns_steps):
-                # Contract over the node dim without an explicit
-                # transpose (in-kernel transposes are a Mosaic hazard).
-                gram = jax.lax.dot_general(
-                    q, q, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                q = 1.5 * q - 0.5 * jnp.dot(
-                    q, gram, preferred_element_type=jnp.float32
-                )
-    out_ref[0] = q
+    rounds = max(1, iters // orth_every)
+
+    # One round = orth_every power-iteration matmuls + a Newton-Schulz
+    # re-orthonormalization. A fori_loop keeps the Mosaic program small
+    # (the fully unrolled version compiles ~6x slower remotely).
+    def round_body(_, q):
+        for _ in range(orth_every):
+            q = jnp.dot(m, q, preferred_element_type=jnp.float32)
+        # Column normalize, then Newton-Schulz: Q ← (3Q − Q QᵀQ)/2.
+        norm = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
+        q = q / jnp.maximum(norm, 1e-20) * inv_sqrt_k
+        for _ in range(ns_steps):
+            # Contract over the node dim without an explicit transpose
+            # (in-kernel transposes are a Mosaic hazard).
+            gram = jax.lax.dot_general(
+                q, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            q = 1.5 * q - 0.5 * jnp.dot(
+                q, gram, preferred_element_type=jnp.float32
+            )
+        return q
+
+    out_ref[0] = jax.lax.fori_loop(0, rounds, round_body, q0_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "orth_every",

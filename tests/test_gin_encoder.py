@@ -208,3 +208,18 @@ def test_dropout_active_in_train_mode():
         rngs={"dropout": jax.random.PRNGKey(2)},
     )
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_selayer_variant_forward():
+    cfg = EncoderConfig(hidden_size=16, output_size=16,
+                        positional_embedding_size=8,
+                        degree_embedding_size=4, use_selayer=True,
+                        final_dropout=0.0, pe_method="eigh")
+    batch = make_batch()
+    feats = featurize_batch(batch, cfg.positional_embedding_size)
+    enc = GraphEncoder(cfg)
+    variables = enc.init(jax.random.PRNGKey(0), feats, train=False)
+    # SE variant has no batch_stats collection at all.
+    assert "batch_stats" not in variables or not variables["batch_stats"]
+    out = enc.apply(variables, feats, train=False)
+    assert np.isfinite(np.asarray(out)).all()

@@ -271,15 +271,16 @@ def test_pe_pallas_kernel_interpret_matches_xla():
         interpret=True,
     )(jnp.asarray(m), jnp.asarray(q0))
 
-    # XLA reference of the same iteration.
+    # XLA reference of the same round-based iteration (orth_every
+    # matmuls then Newton-Schulz, every round including the last).
     q = jnp.asarray(q0)
-    for i in range(12):
-        q = jnp.einsum("bij,bjk->bik", jnp.asarray(m), q)
-        if (i + 1) % 4 == 0 and i != 11:
-            norm = jnp.sqrt((q * q).sum(axis=1, keepdims=True))
-            q = q / jnp.maximum(norm, 1e-20) / np.sqrt(k)
-            for _ in range(3):
-                g = jnp.einsum("bni,bnj->bij", q, q)
-                q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, g)
+    for _round in range(12 // 4):
+        for _ in range(4):
+            q = jnp.einsum("bij,bjk->bik", jnp.asarray(m), q)
+        norm = jnp.sqrt((q * q).sum(axis=1, keepdims=True))
+        q = q / jnp.maximum(norm, 1e-20) / np.sqrt(k)
+        for _ in range(3):
+            g = jnp.einsum("bni,bnj->bij", q, q)
+            q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, g)
     np.testing.assert_allclose(np.asarray(out), np.asarray(q), rtol=2e-4,
                                atol=2e-4)
