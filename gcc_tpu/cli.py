@@ -124,6 +124,27 @@ def cmd_pretrain(args):
     from gcc_tpu.training.loop import run_pretrain
 
     cfg = _cfg_from_args(args)
+    if cfg.dataset != "corpus":
+        # Pretrain on a single evaluation dataset's graph(s) (the
+        # reference's non-"dgl" branch, train.py:558-573): materialize a
+        # one-off corpus from the dataset and train on it.
+        import tempfile
+
+        from gcc_tpu.data.formats import GRAPH_CLASSIFICATION_DSETS
+        from gcc_tpu.graph.corpus import CorpusStore
+
+        tmp = tempfile.mkdtemp(prefix="gcc_tpu_dscorpus_")
+        if cfg.dataset in GRAPH_CLASSIFICATION_DSETS:
+            from gcc_tpu.data.tu import load_tu_dataset
+
+            graphs, _ = load_tu_dataset(cfg.dataset, args.data_root)
+        else:
+            from gcc_tpu.data.formats import create_node_classification_dataset
+
+            graphs = [create_node_classification_dataset(
+                cfg.dataset, args.data_root).graph]
+        CorpusStore.create(tmp, graphs)
+        args.corpus = tmp
     pcfg = PipelineConfig(
         batch_size=cfg.batch_size, n_max=args.n_max, e_max=args.e_max,
         num_samples=cfg.num_samples, num_workers=cfg.num_workers,
@@ -256,8 +277,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("pretrain")
-    p.add_argument("--corpus", required=True)
+    p.add_argument("--corpus", default="",
+                   help="corpus dir (not needed with --dataset <eval-set>)")
     p.add_argument("--out", default="saved")
+    p.add_argument("--data-root", default="data")
     p.add_argument("--resume", default="", help="checkpoint path to resume")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--profile-dir", default="",

@@ -66,8 +66,8 @@ def laplacian_positional_embedding(
     pos_size: int,
     adj: jax.Array | None = None,
     method: str = "eigh",
-    iters: int = 24,
-    orth_every: int = 4,
+    iters: int = 16,
+    orth_every: int = 8,
 ) -> jax.Array:
     """(B, N_max, pos_size) positional embeddings.
 

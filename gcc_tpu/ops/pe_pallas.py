@@ -22,33 +22,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
-               ns_steps: int, k: int):
-    m = m_ref[0]
+               ns_steps: int, k: int, graphs_per_block: int):
+    """Basis stored TRANSPOSED as Qᵀ (k, N): with k=32 and N=256+, this
+    puts the large dim on the 128-lane axis (Qᵀ@M is (k,N)@(N,N) with
+    full lanes) instead of wasting 3/4 of the MXU on a k-lane layout.
+    M is symmetric, so Qᵀ←QᵀM computes (MQ)ᵀ with no transposes.
+
+    `graphs_per_block` graphs are processed per grid step — the kernel
+    is per-program-overhead-bound at these sizes, so fewer, fatter
+    programs win."""
     inv_sqrt_k = 1.0 / (k ** 0.5)
     rounds = max(1, iters // orth_every)
 
-    # One round = orth_every power-iteration matmuls + a Newton-Schulz
-    # re-orthonormalization. A fori_loop keeps the Mosaic program small
-    # (the fully unrolled version compiles ~6x slower remotely).
-    def round_body(_, q):
-        for _ in range(orth_every):
-            q = jnp.dot(m, q, preferred_element_type=jnp.float32)
-        # Column normalize, then Newton-Schulz: Q ← (3Q − Q QᵀQ)/2.
-        norm = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
-        q = q / jnp.maximum(norm, 1e-20) * inv_sqrt_k
-        for _ in range(ns_steps):
-            # Contract over the node dim without an explicit transpose
-            # (in-kernel transposes are a Mosaic hazard).
-            gram = jax.lax.dot_general(
-                q, q, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            q = 1.5 * q - 0.5 * jnp.dot(
-                q, gram, preferred_element_type=jnp.float32
-            )
-        return q
+    for g in range(graphs_per_block):
+        m = m_ref[g]
 
-    out_ref[0] = jax.lax.fori_loop(0, rounds, round_body, q0_ref[0])
+        # One round = orth_every power-iteration matmuls + a Newton-
+        # Schulz re-orthonormalization. fori_loop keeps the Mosaic
+        # program small (full unrolling compiles ~6x slower remotely).
+        def round_body(_, qt):
+            for _ in range(orth_every):
+                qt = jnp.dot(qt, m, preferred_element_type=jnp.float32)
+            # Column normalize (rows of Qᵀ), then Newton-Schulz:
+            # Q ← (3Q − Q QᵀQ)/2 ⇔ Qᵀ ← 1.5 Qᵀ − 0.5 G Qᵀ, G = Qᵀ·Q.
+            norm = jnp.sqrt(jnp.sum(qt * qt, axis=1, keepdims=True))
+            qt = qt / jnp.maximum(norm, 1e-20) * inv_sqrt_k
+            for _ in range(ns_steps):
+                gram = jax.lax.dot_general(
+                    qt, qt, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                qt = 1.5 * qt - 0.5 * jnp.dot(
+                    gram, qt, preferred_element_type=jnp.float32
+                )
+            return qt
+
+        out_ref[g] = jax.lax.fori_loop(0, rounds, round_body, q0_ref[g])
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "orth_every",
@@ -60,23 +69,31 @@ def pe_subspace_iterate(m: jax.Array, q0: jax.Array, iters: int = 24,
     No VJP is defined — positional embeddings are input features
     (stop-gradient), never differentiated."""
     b, n, k = q0.shape
+    # Fatter programs amortize per-grid-step overhead; cap VMEM at
+    # ~4MB of M blocks per program.
+    gpb = max(1, min(b, (4 << 20) // (n * n * 4)))
+    while b % gpb:
+        gpb -= 1
     kernel = functools.partial(_pe_kernel, iters=iters,
-                               orth_every=orth_every, ns_steps=ns_steps, k=k)
+                               orth_every=orth_every, ns_steps=ns_steps,
+                               k=k, graphs_per_block=gpb)
     flops = 2 * n * n * k * iters + (iters // orth_every) * ns_steps * 4 * n * k * k
-    return pl.pallas_call(
+    q0t = jnp.swapaxes(q0, 1, 2)  # kernel works on Qᵀ (k, N)
+    out_t = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // gpb,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((gpb, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((gpb, k, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, k), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((gpb, k, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, k, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=b * flops, bytes_accessed=b * (n * n + 2 * n * k) * 4,
             transcendentals=0,
         ),
-    )(m, q0)
+    )(m, q0t)
+    return jnp.swapaxes(out_t, 1, 2)

@@ -258,18 +258,19 @@ def test_pe_pallas_kernel_interpret_matches_xla():
     q0 = rng.normal(size=(b, n, k)).astype(np.float32)
 
     kernel = partial(pe_pallas._pe_kernel, iters=12, orth_every=4,
-                     ns_steps=3, k=k)
-    out = pl.pallas_call(
+                     ns_steps=3, k=k, graphs_per_block=1)
+    out_t = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, k, n), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, k), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, k), np.float32),
+        out_specs=pl.BlockSpec((1, k, n), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, k, n), np.float32),
         interpret=True,
-    )(jnp.asarray(m), jnp.asarray(q0))
+    )(jnp.asarray(m), jnp.asarray(q0).swapaxes(1, 2))
+    out = jnp.swapaxes(out_t, 1, 2)
 
     # XLA reference of the same round-based iteration (orth_every
     # matmuls then Newton-Schulz, every round including the last).
