@@ -180,7 +180,10 @@ def _subspace_topk(
         )
         return jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
 
-    if _use_pallas():
+    # The fused kernel holds M (N², f32) in VMEM; beyond ~1k nodes per
+    # graph that no longer fits (~16MB VMEM/core) — large buckets use the
+    # XLA path.
+    if _use_pallas() and n * n * 4 <= (4 << 20):
         # Fused single-kernel iteration (see ops/pe_pallas.py): the XLA
         # op-by-op path is launch-overhead-bound at these sizes.
         from gcc_tpu.ops.pe_pallas import pe_subspace_iterate

@@ -40,6 +40,12 @@ def generate_embeddings(
     """Encode pre-built subgraphs with (model + model_ema)/2 in eval mode."""
     enc = GraphEncoder(cfg.encoder)
 
+    # Dense adjacency memory guard: keep the batch's (B, N, N) blocks
+    # under ~1 GB — entire-graph datasets (REDDIT-scale, up to ~4k
+    # nodes) need small batches at big buckets.
+    max_b = max(1, (1 << 30) // max(1, n_max * n_max * 4))
+    batch_size = min(batch_size, max_b)
+
     # Checkpoint arrays are passed as jit *arguments*, not closed-over
     # constants — baked-in constants bloat the compiled program and are
     # pathologically slow through remote-compile relays.

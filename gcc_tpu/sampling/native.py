@@ -242,16 +242,22 @@ def random_walk_final(
 
 
 def weighted_sample(
-    weights: np.ndarray, count: int, rng_seed: int = 0, force_numpy: bool = False
+    weights: np.ndarray, count: int, rng_seed: int = 0,
+    force_numpy: bool = False, cdf: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Draw `count` indices with probability ∝ weights (degree^0.75 seeds)."""
-    weights = np.asarray(weights, dtype=np.float64)
+    """Draw `count` indices with probability ∝ weights (degree^0.75 seeds).
+
+    Pass a precomputed ``cdf`` (np.cumsum(weights)) for hot loops — the
+    cumsum over a corpus-sized weight vector costs more than the draws."""
     lib = None if force_numpy else _load()
     if lib is not None:
-        cdf = np.ascontiguousarray(np.cumsum(weights))
+        if cdf is None:
+            cdf = np.ascontiguousarray(
+                np.cumsum(np.asarray(weights, np.float64)))
         out = np.zeros(count, dtype=np.int64)
         lib.gcc_weighted_sample(cdf, len(cdf), count, rng_seed & (2**64 - 1), out)
         return out
+    weights = np.asarray(weights, dtype=np.float64)
     rng = np.random.default_rng(rng_seed)
     p = weights / weights.sum()
     return rng.choice(len(weights), size=count, replace=True, p=p)

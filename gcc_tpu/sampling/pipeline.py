@@ -74,6 +74,7 @@ class ShardSampler:
         self.offsets = np.cumsum(
             [0] + [g.num_nodes for g in self.graphs]
         )
+        self._cdf = np.ascontiguousarray(np.cumsum(self.weights))
         self._sample_counter = 0
         self._ready: list = []
 
@@ -92,7 +93,9 @@ class ShardSampler:
         base = self._sample_counter
         self._sample_counter += bsz
         flat = native.weighted_sample(
-            self.weights, bsz, rng_seed=hash((self.rng_seed, base)) & (2**63 - 1)
+            self.weights, bsz,
+            rng_seed=hash((self.rng_seed, base)) & (2**63 - 1),
+            cdf=self._cdf,
         )
         # flat node id -> (graph, node)
         gidx = np.searchsorted(self.offsets, flat, side="right") - 1

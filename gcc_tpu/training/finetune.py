@@ -239,8 +239,10 @@ def run_finetune_fold(
 ) -> float:
     """Train one fold; returns test micro-F1 (== accuracy for single-label
     argmax predictions, reference train.py:300-337)."""
-    bsz = cfg.batch_size
     n_max, e_max = data.n_max, data.e_max
+    # Dense-adjacency memory guard for big entire-graph buckets
+    # (REDDIT-scale): cap the batch so (B, N, N) stays under ~1 GB.
+    bsz = min(cfg.batch_size, max(1, (1 << 30) // max(1, n_max * n_max * 4)))
     steps_per_epoch = max(1, int(np.ceil(len(train_idx) / bsz)))
     total_steps = steps_per_epoch * cfg.epochs
 

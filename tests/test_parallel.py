@@ -119,6 +119,13 @@ def test_dp_train_step_matches_single_device():
                                    rtol=1e-4)
         # Queue stays sharded over data.
         assert s2.queue.memory.sharding.spec in (P("data"), P("data",))
+        # Sharded-enqueue determinism: the ring buffer's contents match
+        # the single-device run exactly (same write order and indices).
+        np.testing.assert_allclose(
+            np.asarray(s2.queue.memory), np.asarray(s1.queue.memory),
+            atol=1e-5,
+        )
+        assert int(np.asarray(s2.queue.index)) == int(np.asarray(s1.queue.index))
 
 
 def test_giant_gin_matches_dense_path():
