@@ -177,14 +177,15 @@ def cmd_generate(args):
         from gcc_tpu.data.tu import load_tu_dataset
 
         graphs, _ = load_tu_dataset(args.dataset, args.data_root)
-        subs = graph_subgraphs(graphs)
+        subs, subs_k = graph_subgraphs(graphs), None
     else:
         from gcc_tpu.data.formats import create_node_classification_dataset
 
         data = create_node_classification_dataset(args.dataset, args.data_root)
-        subs = node_subgraphs(data.graph, cfg, args.n_max, args.e_max)
+        subs, subs_k = node_subgraphs(data.graph, cfg, args.n_max,
+                                      args.e_max, two_views=True)
     emb = generate_embeddings(cfg, state, subs, n_max=args.n_max,
-                              e_max=args.e_max)
+                              e_max=args.e_max, subgraphs_k=subs_k)
     out = args.out or os.path.join(run_dir, f"{args.dataset}.npy")
     np.save(out, emb)
     print(f"saved {emb.shape} -> {out}")

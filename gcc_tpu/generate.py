@@ -1,11 +1,13 @@
 """Frozen-embedding generation (reference generate.py:33-125).
 
 For every node (or graph, in entire-graph mode) of an evaluation
-dataset: sample its RWR subgraph exactly as in pretraining, run BOTH the
-query and key encoders in eval mode, and emit (feat_q + feat_k) / 2
-(reference generate.py:52). The reference builds one giant batch of the
-whole dataset; here batches stream through fixed-size buckets so the
-same compiled program serves any dataset size.
+dataset: sample TWO independent RWR subgraph views exactly as in
+pretraining, encode both with the trained encoder in eval mode, and
+emit (feat_q + feat_k) / 2 (reference generate.py:40-52 — the same
+`model` encodes both views; the EMA key encoder is never used at
+generation time). The reference builds one giant batch of the whole
+dataset; here batches stream through fixed-size buckets so the same
+compiled program serves any dataset size.
 """
 
 from __future__ import annotations
@@ -36,8 +38,14 @@ def generate_embeddings(
     n_max: int = 512,
     e_max: int = 8192,
     batch_size: int = 64,
+    subgraphs_k: list[Subgraph] | None = None,
 ) -> np.ndarray:
-    """Encode pre-built subgraphs with (model + model_ema)/2 in eval mode."""
+    """Encode subgraph views with the trained encoder in eval mode.
+
+    With `subgraphs_k` given, returns (enc(q) + enc(k)) / 2 over the two
+    independently sampled views (the reference freeze protocol,
+    generate.py:40-52); otherwise encodes the single view (entire-graph
+    mode, where both reference views are the identical whole graph)."""
     enc = GraphEncoder(cfg.encoder)
 
     # Dense adjacency memory guard: keep the batch's (B, N, N) blocks
@@ -50,17 +58,14 @@ def generate_embeddings(
     # constants — baked-in constants bloat the compiled program and are
     # pathologically slow through remote-compile relays.
     @jax.jit
-    def encode(params, stats, ema_params, ema_stats, batch):
+    def encode(params, stats, batch):
         feats = featurize_batch(
             batch, cfg.encoder.positional_embedding_size,
             pe_method=cfg.encoder.pe_method,
         )
-        fq = _eval_apply(enc, params, stats, feats)
-        fk = _eval_apply(enc, ema_params, ema_stats, feats)
-        return (fq + fk) / 2.0
+        return _eval_apply(enc, params, stats, feats)
 
-    weights = jax.device_put((state.params, state.batch_stats,
-                              state.ema_params, state.ema_batch_stats))
+    weights = jax.device_put((state.params, state.batch_stats))
     outs = []
     for i in range(0, len(subgraphs), batch_size):
         chunk = subgraphs[i : i + batch_size]
@@ -69,32 +74,46 @@ def generate_embeddings(
             chunk = chunk + [chunk[-1]] * pad
         batch = batch_subgraphs(chunk, n_max=n_max, e_max=e_max)
         emb = np.asarray(encode(*weights, jax.device_put(batch)))
+        if subgraphs_k is not None:
+            chunk_k = subgraphs_k[i : i + batch_size]
+            if pad:
+                chunk_k = chunk_k + [chunk_k[-1]] * pad
+            batch_k = batch_subgraphs(chunk_k, n_max=n_max, e_max=e_max)
+            emb = (emb + np.asarray(encode(*weights,
+                                           jax.device_put(batch_k)))) / 2.0
         outs.append(emb[: batch_size - pad])
     return np.concatenate(outs, axis=0)
 
 
 def node_subgraphs(
     g: CSRGraph, cfg: TrainConfig, n_max: int, e_max: int,
-    rng_seed: int = 0,
-) -> list[Subgraph]:
+    rng_seed: int = 0, two_views: bool = False,
+):
     """Per-node RWR subgraphs with the map-style dataset budget
     (out-degree, no ^0.75 — reference graph_dataset.py:243-254 via
-    NodeClassificationDataset)."""
+    NodeClassificationDataset). With two_views=True returns (q, k)
+    lists sampled from independent RNG streams (the reference dataset
+    draws two traces per seed, graph_dataset.py:255-260)."""
     seeds = np.arange(g.num_nodes, dtype=np.int64)
     budgets = rwr_budgets(g, seeds, cfg.sampler, degree_power=False)
-    out = native.sample_subgraphs(
-        g, seeds, budgets, restart_prob=cfg.sampler.restart_prob,
-        aug=cfg.sampler.aug, expand=cfg.sampler.num_neighbors,
-        hops=cfg.sampler.rw_hops, rng_seed=rng_seed,
-        node_cap=n_max, e_cap=e_max, n_threads=2,
-    )
-    subs = []
-    for i in range(g.num_nodes):
-        n_i, e_i = int(out.n[i]), int(out.e[i])
-        subs.append(Subgraph(src=out.src[i, :e_i].copy(),
-                             dst=out.dst[i, :e_i].copy(),
-                             num_nodes=n_i, seed=0))
-    return subs
+
+    def run(stream_ids):
+        out = native.sample_subgraphs(
+            g, seeds, budgets, restart_prob=cfg.sampler.restart_prob,
+            aug=cfg.sampler.aug, expand=cfg.sampler.num_neighbors,
+            hops=cfg.sampler.rw_hops, rng_seed=rng_seed,
+            sample_ids=stream_ids, node_cap=n_max, e_cap=e_max, n_threads=2,
+        )
+        return [
+            Subgraph(src=out.src[i, :out.e[i]].copy(),
+                     dst=out.dst[i, :out.e[i]].copy(),
+                     num_nodes=int(out.n[i]), seed=0)
+            for i in range(g.num_nodes)
+        ]
+
+    if not two_views:
+        return run(2 * seeds)
+    return run(2 * seeds), run(2 * seeds + 1)
 
 
 def graph_subgraphs(graphs: list[CSRGraph]) -> list[Subgraph]:

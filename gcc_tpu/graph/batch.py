@@ -143,6 +143,14 @@ def wire_from_arrays(
     if e_max is not None and e_max < e_cap:
         src, dst = src[:, :e_max], dst[:, :e_max]
         e = np.minimum(e, e_max)
+    # int16 wire ids: local node ids must fit, or the cast silently
+    # wraps negative and corrupts the on-device adjacency.
+    if np.asarray(n).max(initial=0) > np.iinfo(np.int16).max:
+        raise ValueError(
+            f"wire format holds local node ids as int16; a subgraph has "
+            f"{int(np.asarray(n).max())} nodes (max {np.iinfo(np.int16).max}). "
+            f"Use a smaller n_max bucket or the partitioned giant-graph path."
+        )
     return WireBatch(
         src=np.ascontiguousarray(src, np.int16),
         dst=np.ascontiguousarray(dst, np.int16),

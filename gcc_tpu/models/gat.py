@@ -41,6 +41,11 @@ class GATLayer(nn.Module):
             er.transpose(0, 2, 1)[:, :, None, :]
         scores = nn.leaky_relu(scores, self.negative_slope)
         mask = (adj > 0)[:, None, :, :]
+        # Edge-wise softmax semantics on a multigraph: t parallel edges
+        # contribute t identical exp terms, i.e. the dense form adds
+        # log(multiplicity) to the score (adj holds multiplicities).
+        log_mult = jnp.where(adj > 0, jnp.log(jnp.maximum(adj, 1e-12)), 0.0)
+        scores = scores + log_mult[:, None, :, :]
         scores = jnp.where(mask, scores, -1e30)
         alpha = nn.softmax(scores, axis=-1)
         alpha = jnp.where(mask, alpha, 0.0)

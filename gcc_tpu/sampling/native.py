@@ -102,6 +102,9 @@ def sample_wire_pairs(
     callers fall back to :func:`sample_subgraphs` twice)."""
     lib = _load()
     assert lib is not None, "native sampler library required"
+    assert node_cap <= np.iinfo(np.int16).max, (
+        f"int16 wire ids require node_cap <= 32767, got {node_cap}"
+    )
     s = len(seeds_q)
     if out is None:
         out = tuple(

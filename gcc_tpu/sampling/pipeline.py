@@ -67,10 +67,9 @@ class ShardSampler:
         self.pcfg = pcfg
         self.rng_seed = seed
         # deg^0.75 seed sampling over the shard (graph_dataset.py:86-92).
-        self.weights = np.concatenate(
-            [np.diff(g.indptr).astype(np.float64) ** pcfg.degree_power
-             for g in self.graphs]
-        )
+        from gcc_tpu.sampling.sampler import degree_weights
+
+        self.weights = degree_weights(self.graphs, pcfg.degree_power)
         self.offsets = np.cumsum(
             [0] + [g.num_nodes for g in self.graphs]
         )
@@ -160,17 +159,32 @@ class ShardSampler:
         return pairs
 
 
+class _WorkerError:
+    """Sentinel carrying a worker failure to the consumer."""
+
+    def __init__(self, err: str):
+        self.err = err
+
+
 def _worker_main(store_path, graph_ids, cfg, pcfg, seed, out_q, stop_ev):
-    store = CorpusStore.open(store_path)
-    shard = ShardSampler(store, graph_ids, cfg, pcfg, seed)
-    while not stop_ev.is_set():
-        pair = shard.next_pair()
+    try:
+        store = CorpusStore.open(store_path)
+        shard = ShardSampler(store, graph_ids, cfg, pcfg, seed)
         while not stop_ev.is_set():
-            try:
-                out_q.put(pair, timeout=0.5)
-                break
-            except queue_mod.Full:
-                continue
+            pair = shard.next_pair()
+            while not stop_ev.is_set():
+                try:
+                    out_q.put(pair, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    continue
+    except Exception:  # surface crashes instead of hanging the trainer
+        import traceback
+
+        try:
+            out_q.put(_WorkerError(traceback.format_exc()), timeout=5)
+        except Exception:
+            pass
 
 
 class PretrainPipeline:
@@ -239,7 +253,10 @@ class PretrainPipeline:
 
     def __next__(self):
         if self._queue is not None:
-            return self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, _WorkerError):
+                raise RuntimeError(f"sampler worker crashed:\n{item.err}")
+            return item
         return self._shard.next_pair()
 
     @property

@@ -35,7 +35,10 @@ def rwr_budgets(
     (reference graph_dataset.py:113-124); False uses the raw out-degree
     variant of the map-style datasets (graph_dataset.py:243-254).
     """
-    deg = np.diff(g.indptr)[np.asarray(seeds, np.int64)].astype(np.float64)
+    seeds = np.asarray(seeds, np.int64)
+    # O(len(seeds)) degree lookup — np.diff over the whole indptr is
+    # O(num_nodes) and this sits on the per-step sampling hot path.
+    deg = (g.indptr[seeds + 1] - g.indptr[seeds]).astype(np.float64)
     if degree_power:
         deg = deg ** 0.75
     scaled = np.floor(
@@ -51,7 +54,10 @@ def _key_seeds(
     """Pick the key-view seed per query seed via step_dist walk (N3)."""
     if len(cfg.step_dist) == 0 or cfg.step_dist[0] == 1.0:
         return np.asarray(seeds, np.int64)
-    rng = np.random.default_rng((rng_seed, 0x5EED))
+    # Salt the stream with the sample ids so the hop-count draw is fresh
+    # per sample (the reference draws per __getitem__), not frozen
+    # per-shard.
+    rng = np.random.default_rng((rng_seed, 0x5EED, int(sample_ids[0])))
     steps = rng.choice(len(cfg.step_dist), size=len(seeds), p=cfg.step_dist)
     out = np.asarray(seeds, np.int64).copy()
     for hop in np.unique(steps):
@@ -69,13 +75,7 @@ def sample_contrastive_pairs(
     g: CSRGraph,
     seeds: np.ndarray,
     cfg: SamplerConfig,
-    rng_seed: int = 0,
-    sample_ids: np.ndarray | None = None,
-    degree_power: bool = True,
-    n_threads: int = 1,
-    force_numpy: bool = False,
-    node_cap: int | None = None,
-    e_cap: int | None = None,
+    **kwargs,
 ) -> tuple[list[Subgraph], list[Subgraph]]:
     """Sample (query, key) subgraph pairs for contrastive pre-training.
 
@@ -83,30 +83,10 @@ def sample_contrastive_pairs(
     space) so q/k are two different random subgraphs even when rooted at
     the same seed — this is the augmentation that makes InfoNCE
     non-trivial (reference samples two traces in one RWR call,
-    graph_dataset.py:125-130).
+    graph_dataset.py:125-130). List-of-Subgraph convenience wrapper over
+    :func:`sample_contrastive_pairs_raw`.
     """
-    seeds = np.asarray(seeds, np.int64)
-    s = len(seeds)
-    if sample_ids is None:
-        sample_ids = np.arange(s, dtype=np.int64)
-    k_seeds = _key_seeds(g, seeds, cfg, rng_seed, sample_ids, force_numpy)
-
-    budgets_q = rwr_budgets(g, seeds, cfg, degree_power)
-    budgets_k = rwr_budgets(g, k_seeds, cfg, degree_power)
-    if node_cap is None:
-        node_cap = int(max(budgets_q.max(initial=1), budgets_k.max(initial=1))) + 1
-
-    common = dict(
-        restart_prob=cfg.restart_prob, aug=cfg.aug, expand=cfg.num_neighbors,
-        hops=cfg.rw_hops, rng_seed=rng_seed, node_cap=node_cap, e_cap=e_cap,
-        n_threads=n_threads, force_numpy=force_numpy,
-    )
-    out_q = native.sample_subgraphs(
-        g, seeds, budgets_q, sample_ids=2 * sample_ids, **common
-    )
-    out_k = native.sample_subgraphs(
-        g, k_seeds, budgets_k, sample_ids=2 * sample_ids + 1, **common
-    )
+    out_q, out_k = sample_contrastive_pairs_raw(g, seeds, cfg, **kwargs)
     return _to_subgraphs(out_q), _to_subgraphs(out_k)
 
 
@@ -165,14 +145,13 @@ def _to_subgraphs(s: native.SampledSubgraphs) -> list[Subgraph]:
 
 def entire_graph_subgraph(g: CSRGraph) -> Subgraph:
     """Whole-graph 'subgraph' with seed = max-out-degree node (N4 bypass)."""
-    src = np.repeat(
-        np.arange(g.num_nodes, dtype=np.int32), np.diff(g.indptr).astype(np.int64)
-    )
+    degrees = np.diff(g.indptr)
+    src = np.repeat(np.arange(g.num_nodes, dtype=np.int32), degrees)
     return Subgraph(
         src=src,
         dst=g.indices.astype(np.int32),
         num_nodes=g.num_nodes,
-        seed=int(np.argmax(np.diff(g.indptr))),
+        seed=int(np.argmax(degrees)),
     )
 
 

@@ -62,3 +62,26 @@ def test_set2set_masked():
     out2 = m.apply(variables, h2, mask)
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(out2)[0],
                                atol=1e-5)
+
+
+def test_gat_multiplicity_sensitivity():
+    # t parallel edges must contribute like t softmax terms, not 1.
+    from gcc_tpu.models.gat import GATLayer
+    from gcc_tpu.graph.batch import Subgraph, batch_subgraphs
+    from gcc_tpu.ops.aggregate import build_dense_adjacency
+
+    # Graph A: node0 <- node1 (x1), node0 <- node2 (x1)
+    # Graph B: node0 <- node1 (x3), node0 <- node2 (x1)
+    a = Subgraph(src=np.array([1, 2], np.int32),
+                 dst=np.array([0, 0], np.int32), num_nodes=3)
+    b = Subgraph(src=np.array([1, 1, 1, 2], np.int32),
+                 dst=np.array([0, 0, 0, 0], np.int32), num_nodes=3)
+    batch = batch_subgraphs([a, b], n_max=4, e_max=8)
+    adj = build_dense_adjacency(batch)
+    h = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 4, 6)).astype(np.float32))
+    layer = GATLayer(out_per_head=3, num_heads=2)
+    variables = layer.init(jax.random.PRNGKey(0), h, adj, batch.node_mask)
+    out = np.asarray(layer.apply(variables, h, adj, batch.node_mask))
+    # Same features, different multiplicities -> different attention mix.
+    assert not np.allclose(out[0, 0], out[1, 0], atol=1e-6)
