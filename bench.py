@@ -43,6 +43,7 @@ RW_HOPS = 256
 NCE_K = 16384
 WARMUP_STEPS = 8
 MEASURE_STEPS = 60
+STEPS_PER_CALL = 4  # lax.scan-unrolled steps per device dispatch
 
 
 def main():
@@ -56,7 +57,9 @@ def main():
     from gcc_tpu.config import ContrastConfig, SamplerConfig, TrainConfig
     from gcc_tpu.graph.corpus import CorpusStore, synthetic_corpus
     from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
-    from gcc_tpu.training import create_pretrain_state, make_train_step
+    from gcc_tpu.training import (
+        create_pretrain_state, make_train_multi_step, stack_batches,
+    )
 
     corpus_dir = os.environ.get("GCC_TPU_BENCH_CORPUS", "/tmp/gcc_tpu_bench_corpus")
     if not os.path.exists(os.path.join(corpus_dir, "manifest.json")):
@@ -76,30 +79,45 @@ def main():
     )
     num_conv_layers = cfg.encoder.num_layers - 1
 
+    t_start = time.time()
+
+    def note(msg):
+        print(f"[bench +{time.time() - t_start:.0f}s] {msg}", file=sys.stderr,
+              flush=True)
+
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
         bq, bk = next(pipe)
+        note("pipeline up; initializing state (first device compile)")
         state, enc, tx = create_pretrain_state(
             jax.random.PRNGKey(0), cfg, jax.device_put(bq),
             total_steps=100_000, n_max=N_MAX,
         )
-        step_fn = make_train_step(cfg, enc, tx, n_max=N_MAX)
+        note("state ready; compiling train step")
+        step_fn = make_train_multi_step(cfg, enc, tx, n_max=N_MAX)
 
-        for _ in range(WARMUP_STEPS):
-            bq, bk = next(pipe)
-            state, metrics = step_fn(state, jax.device_put(bq),
-                                     jax.device_put(bk))
-        jax.block_until_ready(metrics["loss"])
+        def next_call():
+            pairs = [next(pipe) for _ in range(STEPS_PER_CALL)]
+            msgs = sum(int(np.asarray(q.n_edges).sum()) +
+                       int(np.asarray(k.n_edges).sum())
+                       for q, k in pairs) * num_conv_layers
+            return (stack_batches([q for q, _ in pairs]),
+                    stack_batches([k for _, k in pairs]), msgs)
+
+        for _ in range(max(1, WARMUP_STEPS // STEPS_PER_CALL)):
+            sq, sk, _ = next_call()
+            state, metrics = step_fn(state, jax.device_put(sq),
+                                     jax.device_put(sk))
+        _ = float(np.asarray(metrics["loss"])[-1])
+        note("warmup done; measuring")
 
         edge_messages = 0.0
         t0 = time.time()
-        for _ in range(MEASURE_STEPS):
-            bq, bk = next(pipe)
-            edge_messages += float(
-                int(np.asarray(bq.n_edges).sum()) + int(np.asarray(bk.n_edges).sum())
-            ) * num_conv_layers
-            state, metrics = step_fn(state, jax.device_put(bq),
-                                     jax.device_put(bk))
-        jax.block_until_ready(metrics["loss"])
+        for _ in range(MEASURE_STEPS // STEPS_PER_CALL):
+            sq, sk, msgs = next_call()
+            edge_messages += msgs
+            state, metrics = step_fn(state, jax.device_put(sq),
+                                     jax.device_put(sk))
+        last_loss = float(np.asarray(metrics["loss"])[-1])  # forces sync
         elapsed = time.time() - t0
 
     value = edge_messages / elapsed
@@ -111,9 +129,9 @@ def main():
         "detail": {
             "step_ms": round(elapsed / MEASURE_STEPS * 1000, 2),
             "steps_per_s": round(MEASURE_STEPS / elapsed, 2),
-            "loss": round(float(metrics["loss"]), 4),
+            "loss": round(last_loss, 4),
             "config": f"moco k={NCE_K} b={BATCH_SIZE} gin5x64 rw{RW_HOPS} "
-                      f"bucket({N_MAX},{E_MAX})",
+                      f"bucket({N_MAX},{E_MAX}) scan{STEPS_PER_CALL}",
         },
     }))
 

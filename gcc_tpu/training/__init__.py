@@ -1,7 +1,9 @@
 from gcc_tpu.training.pretrain import (
     PretrainState,
     create_pretrain_state,
+    make_train_multi_step,
     make_train_step,
+    stack_batches,
 )
 from gcc_tpu.training.schedules import make_lr_schedule, warmup_linear
 
@@ -9,6 +11,8 @@ __all__ = [
     "PretrainState",
     "create_pretrain_state",
     "make_train_step",
+    "make_train_multi_step",
+    "stack_batches",
     "make_lr_schedule",
     "warmup_linear",
 ]

@@ -20,7 +20,11 @@ from gcc_tpu.config import TrainConfig
 from gcc_tpu.graph.corpus import CorpusStore
 from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
 from gcc_tpu.training.checkpoint import save_checkpoint
-from gcc_tpu.training.pretrain import create_pretrain_state, make_train_step
+from gcc_tpu.training.pretrain import (
+    create_pretrain_state,
+    make_train_multi_step,
+    stack_batches,
+)
 from gcc_tpu.utils.meters import AverageMeter
 
 
@@ -34,12 +38,16 @@ def run_pretrain(
     resume: str | None = None,
     tensorboard: bool = False,
     profile_dir: str | None = None,
+    steps_per_call: int = 4,
 ) -> dict:
     """Train for cfg.epochs over the corpus; returns final summary dict.
 
     resume: checkpoint path — restores the FULL state including
     optimizer moments and queue (the reference silently drops optimizer
-    state on resume, train.py:684-694; we keep it)."""
+    state on resume, train.py:684-694; we keep it).
+
+    steps_per_call: device steps fused into one dispatch via lax.scan
+    (epochs are rounded down to a whole number of calls)."""
     from gcc_tpu.utils.profiling import TensorBoardWriter, maybe_profile
 
     store = CorpusStore.open(corpus_path)
@@ -68,53 +76,67 @@ def run_pretrain(
             restored = load_checkpoint(resume, abstract_state=state._asdict())
             state = type(state)(**restored)
             log_fn(f"resumed from {resume} at step {int(state.step)}")
-        step_fn = make_train_step(cfg, enc, tx, n_max=pcfg.n_max)
+        # K steps per device dispatch: per-call RPC overhead on the
+        # many-leaf training state dominates at ~10ms steps.
+        k_steps = max(1, min(steps_per_call, steps_per_epoch))
+        step_fn = make_train_multi_step(cfg, enc, tx, n_max=pcfg.n_max)
 
         pending: list[tuple[int, dict]] = []
         loss_meter = AverageMeter()
         summary = {}
         mfile = open(metrics_path, "a")
         global_step = 0
+        first_pair = [bq0, bk0]
         t_start = time.time()
         profiled = maybe_profile(profile_dir)
         profiled.__enter__()
+
+        def drain(entry):
+            s0, m = entry
+            losses = m["loss"]
+            for j in range(len(losses)):
+                s = s0 + j
+                loss = float(losses[j])
+                loss_meter.update(loss)
+                mfile.write(json.dumps(
+                    {"step": s, "loss": loss,
+                     "prob": float(m["prob"][j]),
+                     "grad_norm": float(m["grad_norm"][j])}) + "\n")
+                tb.scalar("moco_loss", loss, s)
+                tb.scalar("moco_prob", float(m["prob"][j]), s)
+                if (s + 1) % cfg.print_freq == 0:
+                    log_fn(
+                        f"step {s + 1}/{total_steps} "
+                        f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})"
+                    )
+
         for epoch in range(1, cfg.epochs + 1):
             t_epoch = time.time()
             data_t = 0.0
-            for _ in range(steps_per_epoch):
+            for _ in range(max(1, steps_per_epoch // k_steps)):
                 t0 = time.time()
-                bq, bk = (bq0, bk0) if global_step == 0 else next(pipe)
+                pairs = []
+                for _j in range(k_steps):
+                    if first_pair is not None:
+                        pairs.append(tuple(first_pair))
+                        first_pair = None
+                    else:
+                        pairs.append(next(pipe))
+                sq = stack_batches([q for q, _ in pairs])
+                sk = stack_batches([k for _, k in pairs])
                 data_t += time.time() - t0
                 state, metrics = step_fn(
-                    state, jax.device_put(bq), jax.device_put(bk)
+                    state, jax.device_put(sq), jax.device_put(sk)
                 )
                 pending.append((global_step, metrics))
-                global_step += 1
+                global_step += k_steps
                 # Drain metrics with lag to keep dispatch async.
-                while len(pending) > metrics_lag:
-                    s, m = pending.pop(0)
-                    loss = float(m["loss"])
-                    loss_meter.update(loss)
-                    mfile.write(json.dumps(
-                        {"step": s, "loss": loss,
-                         "prob": float(m["prob"]),
-                         "grad_norm": float(m["grad_norm"])}) + "\n")
-                    tb.scalar("moco_loss", loss, s)
-                    tb.scalar("moco_prob", float(m["prob"]), s)
-                    if (s + 1) % cfg.print_freq == 0:
-                        log_fn(
-                            f"epoch {epoch} step {s + 1}/{total_steps} "
-                            f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})"
-                        )
+                while len(pending) > max(1, metrics_lag // k_steps):
+                    drain(pending.pop(0))
             jax.block_until_ready(state.params)
             # Epoch boundary: drain all in-flight metrics.
             while pending:
-                s, m = pending.pop(0)
-                loss = float(m["loss"])
-                loss_meter.update(loss)
-                mfile.write(json.dumps(
-                    {"step": s, "loss": loss, "prob": float(m["prob"]),
-                     "grad_norm": float(m["grad_norm"])}) + "\n")
+                drain(pending.pop(0))
             if epoch % cfg.save_freq == 0:
                 save_checkpoint(run_dir, state, cfg, step=epoch)
             save_checkpoint(run_dir, state, cfg)

@@ -210,4 +210,38 @@ def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
         metrics = {"loss": loss, "prob": prob, "grad_norm": grad_norm}
         return new_state, metrics
 
+    train_step.__raw__ = True
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_train_multi_step(cfg: TrainConfig, enc: GraphEncoder, tx,
+                          n_max: int | None = None):
+    """K steps per device call via lax.scan over stacked batches.
+
+    On remote-TPU relays each call pays per-leaf RPC overhead on the
+    ~100-leaf training state; scanning K steps inside one program
+    amortizes dispatch and host→device transfer by K. Batches are
+    WireBatch pytrees with a leading (K, ...) dim (see
+    :func:`stack_batches`); returns (state, metrics) with metrics
+    leaves stacked (K,)."""
+    single = make_train_step(cfg, enc, tx, n_max=n_max).__wrapped__
+
+    def multi_step(state, batches_q, batches_k):
+        def body(state, xs):
+            bq, bk = xs
+            state, metrics = single(state, bq, bk)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (batches_q, batches_k))
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def stack_batches(batches):
+    """Stack a list of same-bucket WireBatch/PaddedSubgraphBatch pytrees
+    along a new leading axis (host-side numpy)."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches
+    )

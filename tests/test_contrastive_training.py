@@ -151,3 +151,52 @@ def test_moco_updates_ema_and_queue():
     diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
              for a, b in zip(p, e)]
     assert max(diffs) > 0
+
+
+def test_multi_step_matches_sequential_single_steps():
+    from gcc_tpu.training import make_train_multi_step, stack_batches
+
+    rng = np.random.default_rng(0)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 300, 1500), rng.integers(0, 300, 1500),
+        num_nodes=300, symmetrize=True,
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        sampler=SamplerConfig(rw_hops=12),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=64),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    pairs = []
+    for i in range(4):
+        qs, ks = sample_contrastive_pairs(
+            g, rng.integers(0, 300, 8), cfg.sampler, rng_seed=i
+        )
+        pairs.append((batch_subgraphs(qs, n_max=32, e_max=256),
+                      batch_subgraphs(ks, n_max=32, e_max=256)))
+
+    state1, enc, tx = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, pairs[0][0], total_steps=100)
+    single = make_train_step(cfg, enc, tx)
+    losses_single = []
+    for bq, bk in pairs:
+        state1, m = single(state1, bq, bk)
+        losses_single.append(float(m["loss"]))
+
+    state2, enc2, tx2 = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, pairs[0][0], total_steps=100)
+    multi = make_train_multi_step(cfg, enc2, tx2)
+    sq = stack_batches([p[0] for p in pairs])
+    sk = stack_batches([p[1] for p in pairs])
+    state2, metrics = multi(state2, sq, sk)
+    losses_multi = np.asarray(metrics["loss"]).tolist()
+
+    np.testing.assert_allclose(losses_multi, losses_single, rtol=1e-4)
+    assert int(state2.step) == 4
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
