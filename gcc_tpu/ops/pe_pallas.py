@@ -33,31 +33,40 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
     programs win."""
     inv_sqrt_k = 1.0 / (k ** 0.5)
     rounds = max(1, iters // orth_every)
+    m = m_ref[...]    # (G, N, N)
+    q0 = q0_ref[...]  # (G, k, N)
 
-    for g in range(graphs_per_block):
-        m = m_ref[g]
+    # Batched dot_generals over the G graphs in the block: one Mosaic op
+    # covers all G matmuls per iteration, shortening the serial
+    # small-matmul chain (the kernel's wall-time is issue-latency-bound).
+    def bmm(a, b):  # (G, x, N) @ (G, N, y)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
 
-        # One round = orth_every power-iteration matmuls + a Newton-
-        # Schulz re-orthonormalization. fori_loop keeps the Mosaic
-        # program small (full unrolling compiles ~6x slower remotely).
-        def round_body(_, qt):
-            for _ in range(orth_every):
-                qt = jnp.dot(qt, m, preferred_element_type=jnp.float32)
-            # Column normalize (rows of Qᵀ), then Newton-Schulz:
-            # Q ← (3Q − Q QᵀQ)/2 ⇔ Qᵀ ← 1.5 Qᵀ − 0.5 G Qᵀ, G = Qᵀ·Q.
-            norm = jnp.sqrt(jnp.sum(qt * qt, axis=1, keepdims=True))
-            qt = qt / jnp.maximum(norm, 1e-20) * inv_sqrt_k
-            for _ in range(ns_steps):
-                gram = jax.lax.dot_general(
-                    qt, qt, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                qt = 1.5 * qt - 0.5 * jnp.dot(
-                    gram, qt, preferred_element_type=jnp.float32
-                )
-            return qt
+    # One round = orth_every power-iteration matmuls + a Newton-Schulz
+    # re-orthonormalization. fori_loop keeps the Mosaic program small
+    # (full unrolling compiles ~6x slower remotely).
+    def round_body(_, qt):
+        for _ in range(orth_every):
+            qt = bmm(qt, m)
+        # Column normalize (rows of Qᵀ), then Newton-Schulz:
+        # Q ← (3Q − Q QᵀQ)/2 ⇔ Qᵀ ← 1.5 Qᵀ − 0.5 G Qᵀ, G = Qᵀ·Q.
+        norm = jnp.sqrt(jnp.sum(qt * qt, axis=2, keepdims=True))
+        qt = qt / jnp.maximum(norm, 1e-20) * inv_sqrt_k
+        for _ in range(ns_steps):
+            gram = jax.lax.dot_general(
+                qt, qt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            qt = 1.5 * qt - 0.5 * jax.lax.dot_general(
+                gram, qt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        return qt
 
-        out_ref[g] = jax.lax.fori_loop(0, rounds, round_body, q0_ref[g])
+    out_ref[...] = jax.lax.fori_loop(0, rounds, round_body, q0)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "orth_every",
