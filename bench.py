@@ -43,7 +43,9 @@ RW_HOPS = 256
 NCE_K = 16384
 WARMUP_STEPS = 8
 MEASURE_STEPS = 60
-STEPS_PER_CALL = 4  # lax.scan-unrolled steps per device dispatch
+# lax.scan-unrolled steps per device dispatch; the training state crosses
+# the dispatch boundary packed into 3 flat arrays (training/packed.py).
+STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "8"))
 
 
 def main():
@@ -58,7 +60,7 @@ def main():
     from gcc_tpu.graph.corpus import CorpusStore, synthetic_corpus
     from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
     from gcc_tpu.training import (
-        create_pretrain_state, make_train_multi_step, stack_batches,
+        create_pretrain_state, make_packed_multi_step, stack_batches,
     )
 
     corpus_dir = os.environ.get("GCC_TPU_BENCH_CORPUS", "/tmp/gcc_tpu_bench_corpus")
@@ -72,10 +74,12 @@ def main():
         sampler=SamplerConfig(rw_hops=RW_HOPS),
         contrast=ContrastConfig(moco=True, nce_k=NCE_K),
     )
+    # threads_per_worker=1: per-call thread spawning costs more than it
+    # buys on the 2-core relay host (measured 2x slower at 2 threads).
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
-        num_samples=10_000, num_workers=1, prefetch=8,
-        threads_per_worker=2, mode="thread",
+        num_samples=10_000, num_workers=1, prefetch=16,
+        threads_per_worker=1, mode="thread",
     )
     num_conv_layers = cfg.encoder.num_layers - 1
 
@@ -93,7 +97,10 @@ def main():
             total_steps=100_000, n_max=N_MAX,
         )
         note("state ready; compiling train step")
-        step_fn = make_train_multi_step(cfg, enc, tx, n_max=N_MAX)
+        step_fn, pack, _unpack = make_packed_multi_step(
+            cfg, enc, tx, state, n_max=N_MAX,
+        )
+        packed = pack(state)
 
         def next_call():
             pairs = [next(pipe) for _ in range(STEPS_PER_CALL)]
@@ -105,18 +112,20 @@ def main():
 
         for _ in range(max(1, WARMUP_STEPS // STEPS_PER_CALL)):
             sq, sk, _ = next_call()
-            state, metrics = step_fn(state, jax.device_put(sq),
-                                     jax.device_put(sk))
+            packed, metrics = step_fn(packed, jax.device_put(sq),
+                                      jax.device_put(sk))
         _ = float(np.asarray(metrics["loss"])[-1])
         note("warmup done; measuring")
 
         edge_messages = 0.0
+        measured_steps = 0
         t0 = time.time()
-        for _ in range(MEASURE_STEPS // STEPS_PER_CALL):
+        for _ in range(max(1, MEASURE_STEPS // STEPS_PER_CALL)):
             sq, sk, msgs = next_call()
             edge_messages += msgs
-            state, metrics = step_fn(state, jax.device_put(sq),
-                                     jax.device_put(sk))
+            measured_steps += STEPS_PER_CALL
+            packed, metrics = step_fn(packed, jax.device_put(sq),
+                                      jax.device_put(sk))
         last_loss = float(np.asarray(metrics["loss"])[-1])  # forces sync
         elapsed = time.time() - t0
 
@@ -127,8 +136,8 @@ def main():
         "unit": "edge-messages/s",
         "vs_baseline": round(value / REFERENCE_EDGE_MSGS_PER_S, 2),
         "detail": {
-            "step_ms": round(elapsed / MEASURE_STEPS * 1000, 2),
-            "steps_per_s": round(MEASURE_STEPS / elapsed, 2),
+            "step_ms": round(elapsed / measured_steps * 1000, 2),
+            "steps_per_s": round(measured_steps / elapsed, 2),
             "loss": round(last_loss, 4),
             "config": f"moco k={NCE_K} b={BATCH_SIZE} gin5x64 rw{RW_HOPS} "
                       f"bucket({N_MAX},{E_MAX}) scan{STEPS_PER_CALL}",

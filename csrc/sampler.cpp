@@ -334,6 +334,31 @@ void gcc_sample_wire_pairs(
   }
 }
 
+// Compact a block of padded per-graph wire rows into one flat edge buffer:
+// out[j] = concatenation of row i's first e[i] entries. Bounds each graph's
+// contribution so the total fits cap_total: if the running total would
+// overflow, the current row is truncated (and every later row gets 0 slots).
+// Returns per-row emitted counts in e_out and the grand total via *total.
+// This is the host side of the compact wire format — 4-8x fewer bytes over
+// the transfer-latency-bound remote relay than the padded (S, e_cap) layout.
+void gcc_compact_rows(const int16_t* src, const int16_t* dst,
+                      const int32_t* e, int64_t rows, int64_t e_cap,
+                      int64_t cap_total, int16_t* out_src, int16_t* out_dst,
+                      int32_t* e_out, int64_t* total) {
+  int64_t off = 0;
+  for (int64_t i = 0; i < rows; ++i) {
+    int64_t take = (int64_t)e[i];
+    if (take > cap_total - off) take = cap_total - off;
+    if (take > 0) {
+      memcpy(out_src + off, src + i * e_cap, take * sizeof(int16_t));
+      memcpy(out_dst + off, dst + i * e_cap, take * sizeof(int16_t));
+    }
+    e_out[i] = (int32_t)take;
+    off += take;
+  }
+  *total = off;
+}
+
 // Degree-biased seed sampling over a node range: draw `count` node ids with
 // probability proportional to degree^power (the reference's deg^0.75 node
 // sampling, graph_dataset.py:86-92). Uses the alias-free inverse-CDF on a

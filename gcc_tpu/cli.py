@@ -253,10 +253,14 @@ def cmd_eval_sim(args):
     from gcc_tpu.tasks import SimilaritySearch
 
     d1, d2 = args.dataset.split("_")
-    task = SimilaritySearch(d1, d2, args.hidden_size,
-                            model="from_numpy_align",
-                            emb_path_1=args.emb1, emb_path_2=args.emb2,
-                            data_root=args.data_root)
+    kwargs = {}
+    if args.model == "from_numpy_align":
+        if not (args.emb1 and args.emb2):
+            raise SystemExit("--emb1/--emb2 required with model "
+                             "from_numpy_align")
+        kwargs = {"emb_path_1": args.emb1, "emb_path_2": args.emb2}
+    task = SimilaritySearch(d1, d2, args.hidden_size, model=args.model,
+                            data_root=args.data_root, **kwargs)
     print(task.train())
 
 
@@ -320,8 +324,11 @@ def main(argv=None):
 
     p = sub.add_parser("eval-sim")
     p.add_argument("--dataset", required=True)  # e.g. kdd_icdm
-    p.add_argument("--emb1", required=True)
-    p.add_argument("--emb2", required=True)
+    p.add_argument("--emb1", default="")
+    p.add_argument("--emb2", default="")
+    p.add_argument("--model", default="from_numpy_align",
+                   help="from_numpy_align (GCC embeddings) or a classical "
+                        "baseline: prone/graphwave/zero")
     p.add_argument("--hidden-size", type=int, default=64)
     p.add_argument("--data-root", default="data")
     p.set_defaults(fn=cmd_eval_sim)

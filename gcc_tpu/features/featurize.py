@@ -35,7 +35,7 @@ def featurize_batch(
     adj = build_dense_adjacency(batch)
     pos = laplacian_positional_embedding(batch, pos_size, adj=adj,
                                          method=pe_method)
-    deg = node_degrees(batch).astype(jnp.int32)
+    deg = node_degrees(batch, adj).astype(jnp.int32)
     return BatchFeatures(
         pos=pos,
         degrees=deg,

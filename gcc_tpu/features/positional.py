@@ -53,7 +53,9 @@ def normalized_adjacency(
     padding diagonal pinned at -2 so padded nodes stay out of the top-k."""
     if adj is None:
         adj = build_dense_adjacency(batch)
-    deg = node_degrees(batch)
+    # Degrees as adjacency row-sums: bandwidth-only, vs. the edge
+    # scatter-add which serializes on the VPU (~1 ms at bucket 256).
+    deg = node_degrees(batch, adj)
     inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
     m = adj * inv_sqrt[:, :, None] * inv_sqrt[:, None, :]
     n = batch.node_mask.shape[1]
@@ -68,6 +70,7 @@ def laplacian_positional_embedding(
     method: str = "eigh",
     iters: int = 16,
     orth_every: int = 8,
+    power_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """(B, N_max, pos_size) positional embeddings.
 
@@ -98,15 +101,22 @@ def laplacian_positional_embedding(
         _, vecs = jnp.linalg.eigh(m)
         top = vecs[:, :, -1 : -n_vec - 1 : -1]  # (B, N, n_vec), descending
     elif method == "subspace":
-        top = _subspace_topk(m, batch, n_vec, iters, orth_every)
+        top = _subspace_topk(m, batch, n_vec, iters, orth_every,
+                             power_dtype=power_dtype)
     else:
         raise ValueError(f"unknown PE method: {method}")
     if n_vec < pos_size:
         top = jnp.pad(top, ((0, 0), (0, 0), (0, pos_size - n_vec)))
 
     # Canonicalize sign: make the entry with max |value| positive.
-    idx = jnp.argmax(jnp.abs(top), axis=1, keepdims=True)
-    ref = jnp.take_along_axis(top, idx, axis=1)
+    # Gather-free formulation (argmax + take_along_axis lowers to a slow
+    # serialized gather on TPU): select entries attaining the column max
+    # |value| and sum them — sign of the sum matches the reference rule
+    # except under exact-|value| ties of opposite sign (then it falls
+    # back to +, same as the ref==0 case).
+    mx = jnp.max(jnp.abs(top), axis=1, keepdims=True)
+    ref = jnp.sum(jnp.where(jnp.abs(top) == mx, top, 0.0), axis=1,
+                  keepdims=True)
     top = top * jnp.sign(jnp.where(ref == 0, 1.0, ref))
 
     # Zero out columns >= k_b = min(n_b - 2, pos_size).
@@ -127,6 +137,7 @@ def _subspace_topk(
     k: int,
     iters: int,
     orth_every: int,
+    power_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Top-k (algebraic) eigenvectors of M via shifted orthogonal iteration.
 
@@ -137,6 +148,8 @@ def _subspace_topk(
     could beat small real eigenvalues, so the padding block is first
     re-pinned to shifted 0 (diag -1 pre-shift) where it sorts last.
     """
+    import numpy as np
+
     b, n = batch.node_mask.shape
     eye = jnp.eye(n, dtype=m.dtype)
     pad = 1.0 - batch.node_mask
@@ -144,10 +157,14 @@ def _subspace_topk(
     # +1 shift sends it to 0 (lowest modulus).
     m_shift = m + (pad[:, :, None] * eye) + eye
 
-    # Deterministic pseudo-random init (fixed seed: PE must be a pure
-    # function of the batch).
-    q = jax.random.normal(jax.random.PRNGKey(0), (b, n, k), dtype=m.dtype)
-    q = q * batch.node_mask[:, :, None]
+    # Deterministic init (PE must be a pure function of the batch): a
+    # fixed numpy basis baked into the program as a (n, k) constant —
+    # generating it with jax.random.normal would re-run threefry on
+    # (B, n, k) every step (~0.5 ms at the canonical bucket).
+    q0_const = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n, k)), m.dtype
+    )
+    q = jnp.broadcast_to(q0_const, (b, n, k)) * batch.node_mask[:, :, None]
 
     def colnorm(q):
         # Column scale-normalization keeps the Gram matrix conditioned;
@@ -180,33 +197,53 @@ def _subspace_topk(
         )
         return jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
 
-    # The fused kernel holds M (N², f32) in VMEM; beyond ~1k nodes per
-    # graph that no longer fits (~16MB VMEM/core) — large buckets use the
-    # XLA path.
-    if _use_pallas() and n * n * 4 <= (4 << 20):
+    # The fused kernel holds M (N², f32+bf16) in VMEM; beyond ~1k nodes
+    # per graph that no longer fits (~16MB VMEM/core) — large buckets use
+    # the XLA path.
+    if _use_pallas() and n * n * 6 <= (4 << 20):
         # Fused single-kernel iteration (see ops/pe_pallas.py): the XLA
-        # op-by-op path is launch-overhead-bound at these sizes.
+        # op-by-op path is launch-overhead-bound at these sizes. The
+        # kernel's f32 Newton-Schulz finish returns an orthonormal basis,
+        # so Rayleigh-Ritz runs directly — no CholeskyQR pass (cholesky +
+        # triangular_solve cost ~0.4 ms/step unfused at bucket 256).
         from gcc_tpu.ops.pe_pallas import pe_subspace_iterate
 
         q = pe_subspace_iterate(m_shift, colnorm(q), iters=iters,
-                                orth_every=orth_every)
+                                orth_every=orth_every,
+                                power_dtype=power_dtype)
+        q = jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
     else:
+        # Same mixed-precision scheme as the kernel: power/NS matmuls
+        # with bf16 inputs + f32 accumulation (the iteration is FLOP-
+        # bound at f32 MXU rate), then f32 polish steps to contract the
+        # bf16 rounding noise before the exact finish.
+        m_lo = m_shift.astype(power_dtype)
         q = orth_chol(q)
         for i in range(iters):
             q = jax.lax.dot_general(
-                m_shift, q,
+                m_lo, q.astype(power_dtype),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             if (i + 1) % orth_every == 0 and i != iters - 1:
                 q = orth_ns(q)
-    q = orth_chol(q)
+        for _ in range(2):  # f32 polish
+            q = colnorm(jax.lax.dot_general(
+                m_shift, q,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))
+        q = orth_chol(q)
 
     # Rayleigh-Ritz: rotate the converged subspace onto Ritz vectors —
     # resolves the slow per-column convergence of clustered eigenvalues
-    # with one small (k, k) eigendecomposition.
+    # with one small (k, k) eigendecomposition. Uses m_shift (= M + I
+    # off padding): the identity shift changes neither eigenvectors nor
+    # order, and q is zero on padding rows so the padding-diagonal
+    # difference contributes qᵀΔq = 0 — this avoids keeping a second
+    # dense (B, N, N) M alive.
     mq = jax.lax.dot_general(
-        m, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        m_shift, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     t = jnp.einsum("bni,bnj->bij", q, mq)

@@ -107,29 +107,98 @@ class WireBatch:
         return self.src.shape[0]
 
 
-def expand_wire(wire: WireBatch, n_max: int) -> PaddedSubgraphBatch:
-    """Device-side expansion of a WireBatch (jit-friendly, all vector ops)."""
+@dataclasses.dataclass(frozen=True)
+class CompactWireBatch:
+    """Flat-edge wire form: per-graph edge runs concatenated into one
+    (E_tot,) buffer instead of a padded (B, E_max) grid.
+
+    At the canonical MoCo config the mean subgraph has ~200 edges while
+    the no-truncation bucket needs E_max = 2048, so per-graph padding
+    ships ~10x dead bytes; the flat layout bounds the whole batch at
+    ``e_tot`` slots (host-side per-batch truncation by
+    ``gcc_compact_rows`` if a pathological batch overflows — counts stay
+    exact in ``n_edges``). Expansion back to the padded layout is a
+    device-side gather (:func:`expand_compact`).
+
+    src/dst: (E_tot,) int16 local node ids; n_nodes/n_edges/seed_pos:
+    (B,) int32. ``e_max`` (static) is the padded bucket the batch
+    expands into on device.
+    """
+
+    src: jax.Array
+    dst: jax.Array
+    n_nodes: jax.Array
+    n_edges: jax.Array
+    seed_pos: jax.Array
+    e_max: int = dataclasses.field(metadata=dict(static=True), default=2048)
+
+    @property
+    def batch_size(self) -> int:
+        return self.n_nodes.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    CompactWireBatch,
+    data_fields=["src", "dst", "n_nodes", "n_edges", "seed_pos"],
+    meta_fields=["e_max"],
+)
+
+
+def _padded_from_locals(src_local, dst_local, valid, n_nodes, seed_pos,
+                        n_max: int) -> PaddedSubgraphBatch:
+    """Assemble a PaddedSubgraphBatch from (B, E_max) local edge ids."""
     import jax.numpy as jnp
 
-    b, e_max = wire.src.shape
+    b = n_nodes.shape[0]
     base = (jnp.arange(b, dtype=jnp.int32) * n_max)[:, None]
-    valid = (
-        jnp.arange(e_max, dtype=jnp.int32)[None, :]
-        < wire.n_edges[:, None]
-    )
-    src_local = jnp.where(valid, wire.src.astype(jnp.int32), 0)
-    dst_local = jnp.where(valid, wire.dst.astype(jnp.int32), 0)
     node_iota = jnp.arange(n_max, dtype=jnp.int32)[None, :]
-    node_mask = (node_iota < wire.n_nodes[:, None]).astype(jnp.float32)
-    seed_flag = (node_iota == wire.seed_pos[:, None]).astype(jnp.float32)
+    node_mask = (node_iota < n_nodes[:, None]).astype(jnp.float32)
+    seed_flag = (node_iota == seed_pos[:, None]).astype(jnp.float32)
     return PaddedSubgraphBatch(
         edges_src=(src_local + base).reshape(-1),
         edges_dst=(dst_local + base).reshape(-1),
         edge_weight=valid.astype(jnp.float32).reshape(-1),
         node_mask=node_mask,
         seed_flag=seed_flag * node_mask,
-        n_nodes=wire.n_nodes,
+        n_nodes=n_nodes,
     )
+
+
+def expand_wire(wire: WireBatch, n_max: int) -> PaddedSubgraphBatch:
+    """Device-side expansion of a WireBatch (jit-friendly, all vector ops)."""
+    import jax.numpy as jnp
+
+    b, e_max = wire.src.shape
+    valid = (
+        jnp.arange(e_max, dtype=jnp.int32)[None, :]
+        < wire.n_edges[:, None]
+    )
+    src_local = jnp.where(valid, wire.src.astype(jnp.int32), 0)
+    dst_local = jnp.where(valid, wire.dst.astype(jnp.int32), 0)
+    return _padded_from_locals(src_local, dst_local, valid, wire.n_nodes,
+                               wire.seed_pos, n_max)
+
+
+def expand_compact(wire: CompactWireBatch, n_max: int) -> PaddedSubgraphBatch:
+    """Device-side expansion of a CompactWireBatch: gather each graph's
+    edge run out of the flat buffer into the padded (B, E_max) layout
+    (gathers pipeline well on TPU, unlike scatters)."""
+    import jax.numpy as jnp
+
+    b = wire.n_nodes.shape[0]
+    e_tot = wire.src.shape[0]
+    e_max = wire.e_max
+    n_edges = wire.n_edges
+    off = jnp.concatenate(
+        [jnp.zeros(1, n_edges.dtype), jnp.cumsum(n_edges)[:-1]]
+    )
+    pos = jnp.arange(e_max, dtype=jnp.int32)[None, :]
+    valid = pos < n_edges[:, None]
+    idx = jnp.minimum(off[:, None] + pos, e_tot - 1)
+    src_local = jnp.where(valid, jnp.take(wire.src, idx).astype(jnp.int32), 0)
+    dst_local = jnp.where(valid, jnp.take(wire.dst, idx).astype(jnp.int32), 0)
+    return _padded_from_locals(src_local, dst_local, valid, wire.n_nodes,
+                               wire.seed_pos, n_max)
 
 
 def wire_from_arrays(

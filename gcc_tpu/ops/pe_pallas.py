@@ -5,10 +5,19 @@ small kernels per call (24 power-iteration matmuls + Newton-Schulz
 orthogonalizations); at (B, 256, 256) each op is ~256 MFLOP — pure
 launch overhead on TPU (~0.2ms/op, ~9ms total). This kernel runs the
 whole iteration for one graph per grid step entirely in VMEM: M
-(N×N ≤ 1MB) is loaded once, the 24 MXU matmuls and NS orthogonalizations
+(N×N ≤ 1MB) is loaded once, the MXU matmuls and NS orthogonalizations
 chain with no HBM round-trips, and the only outputs are the converged
 basis Q. The exact CholeskyQR + Rayleigh-Ritz finish stays in XLA (4
 small ops on (B, k, k)).
+
+Precision: the iteration is FLOP-bound at f32 MXU rate (measured
+~44us per (G=16, 32, 256)x(256, 256) batched matmul — exactly the f32
+roofline). Power/NS matmuls therefore run with bfloat16 INPUTS and f32
+ACCUMULATION (native MXU rate, ~4x f32), followed by `polish` full-f32
+power steps that contract the ~1e-2 bf16 rounding noise out of the
+subspace before the exact f32 CholeskyQR + Rayleigh-Ritz finish. The
+reference's ARPACK path has looser guarantees than this (random v0,
+sign-indeterminate, zero-PE on non-convergence — data_util.py:242-263).
 """
 
 from __future__ import annotations
@@ -22,7 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
-               ns_steps: int, k: int, graphs_per_block: int):
+               ns_steps: int, k: int, graphs_per_block: int,
+               power_dtype=jnp.bfloat16, polish: int = 2,
+               final_ns: int = 3):
     """Basis stored TRANSPOSED as Qᵀ (k, N): with k=32 and N=256+, this
     puts the large dim on the 128-lane axis (Qᵀ@M is (k,N)@(N,N) with
     full lanes) instead of wasting 3/4 of the MXU on a k-lane layout.
@@ -33,60 +44,95 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
     programs win."""
     inv_sqrt_k = 1.0 / (k ** 0.5)
     rounds = max(1, iters // orth_every)
-    m = m_ref[...]    # (G, N, N)
-    q0 = q0_ref[...]  # (G, k, N)
+    m = m_ref[...]    # (G, N, N) f32
+    m_lo = m.astype(power_dtype)
+    q0 = q0_ref[...]  # (G, k, N) f32
 
     # Batched dot_generals over the G graphs in the block: one Mosaic op
     # covers all G matmuls per iteration, shortening the serial
-    # small-matmul chain (the kernel's wall-time is issue-latency-bound).
+    # small-matmul chain. Inputs cast to `power_dtype`, f32 accumulate.
     def bmm(a, b):  # (G, x, N) @ (G, N, y)
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
+    def bmm_lo(a, b_lo):
+        return bmm(a.astype(power_dtype), b_lo)
+
+    def colunit(qt):
+        norm = jnp.sqrt(jnp.sum(qt * qt, axis=2, keepdims=True))
+        return qt / jnp.maximum(norm, 1e-20)
+
+    def normalize(qt):
+        return colunit(qt) * inv_sqrt_k
+
     # One round = orth_every power-iteration matmuls + a Newton-Schulz
     # re-orthonormalization. fori_loop keeps the Mosaic program small
     # (full unrolling compiles ~6x slower remotely).
     def round_body(_, qt):
         for _ in range(orth_every):
-            qt = bmm(qt, m)
+            qt = bmm_lo(qt, m_lo)
         # Column normalize (rows of Qᵀ), then Newton-Schulz:
         # Q ← (3Q − Q QᵀQ)/2 ⇔ Qᵀ ← 1.5 Qᵀ − 0.5 G Qᵀ, G = Qᵀ·Q.
-        norm = jnp.sqrt(jnp.sum(qt * qt, axis=2, keepdims=True))
-        qt = qt / jnp.maximum(norm, 1e-20) * inv_sqrt_k
+        qt = normalize(qt)
         for _ in range(ns_steps):
+            a_lo = qt.astype(power_dtype)
             gram = jax.lax.dot_general(
-                qt, qt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                a_lo, a_lo, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            qt = 1.5 * qt - 0.5 * jax.lax.dot_general(
-                gram, qt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+            qt = 1.5 * qt - 0.5 * bmm_lo(gram, qt.astype(power_dtype))
         return qt
 
-    out_ref[...] = jax.lax.fori_loop(0, rounds, round_body, q0)
+    qt = jax.lax.fori_loop(0, rounds, round_body, q0)
+    # Full-f32 polish steps: power iteration contracts the bf16 rounding
+    # noise (outside the dominant subspace) injected by the rounds above.
+    # Unit column scale (no 1/√k) so the NS finish below starts at
+    # σ_max ≈ 1, where its convergence is quadratic.
+    for _ in range(polish):
+        qt = colunit(bmm(qt, m))
+    # Full-f32 Newton-Schulz finish: quadratic convergence to an
+    # orthonormal basis, so the caller can run Rayleigh-Ritz directly
+    # without a (slow, unfused) CholeskyQR pass. The basis enters with
+    # near-orthonormal unit columns (NS rounds + gentle power polish), so
+    # σ_max ≈ 1 + O(1e-2) — well inside NS's √3 convergence radius.
+    for _ in range(final_ns):
+        gram = jax.lax.dot_general(
+            qt, qt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        qt = 1.5 * qt - 0.5 * jax.lax.dot_general(
+            gram, qt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[...] = qt
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "orth_every",
-                                             "ns_steps"))
+                                             "ns_steps", "power_dtype",
+                                             "polish", "final_ns"))
 def pe_subspace_iterate(m: jax.Array, q0: jax.Array, iters: int = 24,
-                        orth_every: int = 4, ns_steps: int = 3) -> jax.Array:
+                        orth_every: int = 4, ns_steps: int = 3,
+                        power_dtype=jnp.bfloat16,
+                        polish: int = 2, final_ns: int = 3) -> jax.Array:
     """Run the fused subspace iteration: m (B, N, N), q0 (B, N, k) → (B, N, k).
 
     No VJP is defined — positional embeddings are input features
     (stop-gradient), never differentiated."""
     b, n, k = q0.shape
     # Fatter programs amortize per-grid-step overhead; cap VMEM at
-    # ~4MB of M blocks per program.
-    gpb = max(1, min(b, (4 << 20) // (n * n * 4)))
+    # ~4MB of M blocks per program (f32 + bf16 copies).
+    gpb = max(1, min(b, (4 << 20) // (n * n * 6)))
     while b % gpb:
         gpb -= 1
     kernel = functools.partial(_pe_kernel, iters=iters,
                                orth_every=orth_every, ns_steps=ns_steps,
-                               k=k, graphs_per_block=gpb)
-    flops = 2 * n * n * k * iters + (iters // orth_every) * ns_steps * 4 * n * k * k
+                               k=k, graphs_per_block=gpb,
+                               power_dtype=power_dtype, polish=polish,
+                               final_ns=final_ns)
+    flops = (2 * n * n * k * (iters + polish)
+             + ((iters // orth_every) * ns_steps + final_ns) * 4 * n * k * k)
     q0t = jnp.swapaxes(q0, 1, 2)  # kernel works on Qᵀ (k, N)
     out_t = pl.pallas_call(
         kernel,

@@ -50,6 +50,16 @@ def shard_state(mesh: Mesh, state: PretrainState) -> PretrainState:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    from gcc_tpu.graph.batch import CompactWireBatch
+
+    if isinstance(batch, CompactWireBatch):
+        # The flat edge buffer has no batch dim to shard on; compact wire
+        # is a single-host transfer optimization (sampling/pipeline.py).
+        raise ValueError(
+            "CompactWireBatch cannot be data-sharded: its edge buffer is "
+            "flat. Use WireBatch (PipelineConfig.compact_wire=False) or "
+            "expand to PaddedSubgraphBatch before shard_batch."
+        )
     return jax.device_put(batch, batch_sharding(mesh, axis))
 
 

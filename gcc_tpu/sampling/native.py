@@ -60,6 +60,12 @@ def _load():
         f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p,
     ]
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.gcc_compact_rows.argtypes = [
+        i16p, i16p, i32p,                    # src, dst, e
+        ctypes.c_int64, ctypes.c_int64,      # rows, e_cap
+        ctypes.c_int64,                      # cap_total
+        i16p, i16p, i32p, i64p,              # out_src, out_dst, e_out, total
+    ]
     lib.gcc_sample_wire_pairs.argtypes = [
         i64p, i32p, ctypes.c_int64,          # csr
         i64p, i64p, ctypes.c_int64,          # seeds_q, seeds_k, num
@@ -134,6 +140,39 @@ def sample_wire_pairs(
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def compact_rows(
+    src: np.ndarray, dst: np.ndarray, e: np.ndarray, cap_total: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Flatten padded (rows, e_cap) wire rows into (cap_total,) compact
+    buffers (see CompactWireBatch). Returns (src, dst, e_emitted, total);
+    rows past a full buffer are truncated (e_emitted records reality).
+    numpy fallback mirrors the C++ exactly."""
+    rows, e_cap = src.shape
+    e = np.ascontiguousarray(e, np.int32)
+    out_src = np.zeros(cap_total, np.int16)
+    out_dst = np.zeros(cap_total, np.int16)
+    e_out = np.zeros(rows, np.int32)
+    lib = _load()
+    if lib is not None:
+        total = np.zeros(1, np.int64)
+        lib.gcc_compact_rows(
+            np.ascontiguousarray(src, np.int16).reshape(-1),
+            np.ascontiguousarray(dst, np.int16).reshape(-1),
+            e, rows, e_cap, cap_total,
+            out_src, out_dst, e_out, total,
+        )
+        return out_src, out_dst, e_out, int(total[0])
+    off = 0
+    for i in range(rows):
+        take = min(int(e[i]), cap_total - off)
+        if take > 0:
+            out_src[off:off + take] = src[i, :take]
+            out_dst[off:off + take] = dst[i, :take]
+        e_out[i] = take
+        off += take
+    return out_src, out_dst, e_out, off
 
 
 class SampledSubgraphs(NamedTuple):

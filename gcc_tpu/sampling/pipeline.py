@@ -26,7 +26,7 @@ from typing import Iterator
 import numpy as np
 
 from gcc_tpu.config import SamplerConfig
-from gcc_tpu.graph.batch import WireBatch
+from gcc_tpu.graph.batch import CompactWireBatch, WireBatch
 from gcc_tpu.graph.corpus import CorpusStore, partition_graphs
 from gcc_tpu.sampling import native
 from gcc_tpu.sampling.sampler import (
@@ -54,7 +54,15 @@ class PipelineConfig:
     mode: str = "thread"
     # Pairs sampled per native-sampler call: one big C++ call is sliced
     # into `super_batch` wire pairs, amortizing the Python call overhead.
-    super_batch: int = 4
+    super_batch: int = 8
+    # Ship batches as CompactWireBatch (flat per-batch edge buffer of
+    # e_tot slots) instead of padded (B, E_max) rows: ~4x fewer wire
+    # bytes at the canonical config, which matters on transfer/CPU-bound
+    # remote-relay hosts. e_tot=None → batch_size * e_max // 4 (≈2.5x
+    # the observed p99 batch edge total; overflowing batches are
+    # truncated host-side with exact counts kept).
+    compact_wire: bool = True
+    e_tot: int | None = None
 
 
 class ShardSampler:
@@ -146,17 +154,39 @@ class ShardSampler:
 
         pairs = []
         step = self.pcfg.batch_size
+        compact = self.pcfg.compact_wire
+        e_tot = self.pcfg.e_tot or (step * e_max // 4)
         for lo in range(0, bsz, step):
             hi = lo + step
-            pairs.append((
-                WireBatch(src=q_src[lo:hi], dst=q_dst[lo:hi],
-                          n_nodes=counts[0, lo:hi], n_edges=counts[1, lo:hi],
-                          seed_pos=np.zeros(step, np.int32)),
-                WireBatch(src=k_src[lo:hi], dst=k_dst[lo:hi],
-                          n_nodes=counts[2, lo:hi], n_edges=counts[3, lo:hi],
-                          seed_pos=np.zeros(step, np.int32)),
-            ))
+            if compact:
+                pairs.append((
+                    self._compact(q_src[lo:hi], q_dst[lo:hi],
+                                  counts[0, lo:hi], counts[1, lo:hi],
+                                  e_tot, e_max),
+                    self._compact(k_src[lo:hi], k_dst[lo:hi],
+                                  counts[2, lo:hi], counts[3, lo:hi],
+                                  e_tot, e_max),
+                ))
+            else:
+                pairs.append((
+                    WireBatch(src=q_src[lo:hi], dst=q_dst[lo:hi],
+                              n_nodes=counts[0, lo:hi],
+                              n_edges=counts[1, lo:hi],
+                              seed_pos=np.zeros(step, np.int32)),
+                    WireBatch(src=k_src[lo:hi], dst=k_dst[lo:hi],
+                              n_nodes=counts[2, lo:hi],
+                              n_edges=counts[3, lo:hi],
+                              seed_pos=np.zeros(step, np.int32)),
+                ))
         return pairs
+
+    @staticmethod
+    def _compact(src, dst, n, e, e_tot: int, e_max: int) -> CompactWireBatch:
+        c_src, c_dst, c_e, total = native.compact_rows(src, dst, e, e_tot)
+        return CompactWireBatch(
+            src=c_src, dst=c_dst, n_nodes=np.ascontiguousarray(n, np.int32),
+            n_edges=c_e, seed_pos=np.zeros(len(n), np.int32), e_max=e_max,
+        )
 
 
 class _WorkerError:

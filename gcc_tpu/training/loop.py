@@ -20,11 +20,8 @@ from gcc_tpu.config import TrainConfig
 from gcc_tpu.graph.corpus import CorpusStore
 from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
 from gcc_tpu.training.checkpoint import save_checkpoint
-from gcc_tpu.training.pretrain import (
-    create_pretrain_state,
-    make_train_multi_step,
-    stack_batches,
-)
+from gcc_tpu.training.packed import make_packed_multi_step
+from gcc_tpu.training.pretrain import create_pretrain_state, stack_batches
 from gcc_tpu.utils.meters import AverageMeter
 
 
@@ -76,10 +73,14 @@ def run_pretrain(
             restored = load_checkpoint(resume, abstract_state=state._asdict())
             state = type(state)(**restored)
             log_fn(f"resumed from {resume} at step {int(state.step)}")
-        # K steps per device dispatch: per-call RPC overhead on the
-        # many-leaf training state dominates at ~10ms steps.
+        # K steps per device dispatch, with the ~258-leaf state packed
+        # into 3 flat arrays across the RPC boundary: per-call per-leaf
+        # overhead dominates at ~10ms steps (training/packed.py).
         k_steps = max(1, min(steps_per_call, steps_per_epoch))
-        step_fn = make_train_multi_step(cfg, enc, tx, n_max=pcfg.n_max)
+        step_fn, pack, unpack = make_packed_multi_step(
+            cfg, enc, tx, state, n_max=pcfg.n_max
+        )
+        packed = pack(state)
 
         pending: list[tuple[int, dict]] = []
         loss_meter = AverageMeter()
@@ -125,14 +126,15 @@ def run_pretrain(
                 sq = stack_batches([q for q, _ in pairs])
                 sk = stack_batches([k for _, k in pairs])
                 data_t += time.time() - t0
-                state, metrics = step_fn(
-                    state, jax.device_put(sq), jax.device_put(sk)
+                packed, metrics = step_fn(
+                    packed, jax.device_put(sq), jax.device_put(sk)
                 )
                 pending.append((global_step, metrics))
                 global_step += k_steps
                 # Drain metrics with lag to keep dispatch async.
                 while len(pending) > max(1, metrics_lag // k_steps):
                     drain(pending.pop(0))
+            state = unpack(packed)
             jax.block_until_ready(state.params)
             # Epoch boundary: drain all in-flight metrics.
             while pending:

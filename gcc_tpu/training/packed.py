@@ -1,0 +1,97 @@
+"""Packed-state dispatch: flatten the training state across the RPC boundary.
+
+The PretrainState pytree has ~258 leaves (5-layer GIN params + BN
+buffers + EMA copies + Adam moments + queue). On remote-TPU relays every
+dispatch pays per-leaf RPC overhead on donated inputs and returned
+buffer handles — ~0.1 ms/leaf, i.e. ~25 ms/dispatch of pure bookkeeping
+that dwarfs the ~3 ms of device compute per step (docs/PERF.md).
+
+This module packs the state into ONE flat 1-D array per dtype at the
+dispatch boundary (3 arrays: f32/i32/u32) and unpacks it inside the
+jitted program with static slices — a ~5 MB on-device copy (~10 us),
+traded for removing ~250 leaves of per-dispatch RPC chatter. The
+reference has no analog (single-process CUDA, train.py:350-478); this is
+purely a remote-dispatch optimization and is bit-identical to the
+unpacked path (tests/test_contrastive_training.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcc_tpu.config import TrainConfig
+from gcc_tpu.training.pretrain import make_train_step
+
+
+def make_state_packer(
+    template_state: Any,
+) -> tuple[Callable[[Any], tuple], Callable[[tuple], Any]]:
+    """Build (pack, unpack) for pytrees shaped like ``template_state``.
+
+    pack(state) -> tuple of 1-D arrays, one per distinct leaf dtype (in
+    first-seen flatten order). unpack is its exact inverse. Both are pure
+    and jit-compatible (all offsets static).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    specs = [(tuple(l.shape), jnp.dtype(l.dtype)) for l in leaves]
+    groups: dict[Any, list[int]] = {}
+    for i, (_, dt) in enumerate(specs):
+        groups.setdefault(dt, []).append(i)
+    dtypes = list(groups)
+
+    def pack(state):
+        ls = jax.tree_util.tree_flatten(state)[0]
+        return tuple(
+            jnp.concatenate([jnp.ravel(ls[i]) for i in groups[dt]])
+            for dt in dtypes
+        )
+
+    def unpack(packed):
+        out: list[Any] = [None] * len(specs)
+        for vec, dt in zip(packed, dtypes):
+            off = 0
+            for i in groups[dt]:
+                shape = specs[i][0]
+                size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+                out[i] = jax.lax.slice(vec, (off,), (off + size,)).reshape(shape)
+                off += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return pack, unpack
+
+
+def make_packed_multi_step(
+    cfg: TrainConfig, enc, tx, template_state, n_max: int | None = None,
+):
+    """K-steps-per-dispatch train step over a packed state.
+
+    Returns (step_fn, pack_fn, unpack_fn):
+      * step_fn(packed, batches_q, batches_k) -> (packed, metrics) with
+        the packed tuple donated; batches are stacked (K, ...) pytrees
+        (see :func:`gcc_tpu.training.pretrain.stack_batches`).
+      * pack_fn — jitted host->packed conversion (call once at start).
+      * unpack_fn — jitted packed->PretrainState (for checkpoints/eval).
+    """
+    pack, unpack = make_state_packer(template_state)
+    single = make_train_step(cfg, enc, tx, n_max=n_max).__wrapped__
+
+    def multi_step(packed, batches_q, batches_k):
+        state = unpack(packed)
+
+        def body(st, xs):
+            bq, bk = xs
+            st, metrics = single(st, bq, bk)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches_q, batches_k))
+        return pack(state), metrics
+
+    return (
+        jax.jit(multi_step, donate_argnums=(0,)),
+        jax.jit(pack),
+        jax.jit(unpack),
+    )

@@ -28,9 +28,11 @@ from gcc_tpu.contrastive import (
 )
 from gcc_tpu.features import featurize_batch
 from gcc_tpu.graph.batch import (
+    CompactWireBatch,
     PaddedSubgraphBatch,
     WireBatch,
     concat_padded,
+    expand_compact,
     expand_wire,
 )
 from gcc_tpu.models import GraphEncoder
@@ -50,6 +52,9 @@ class PretrainState(NamedTuple):
 
 
 def _as_padded(batch, n_max: int | None) -> PaddedSubgraphBatch:
+    if isinstance(batch, CompactWireBatch):
+        assert n_max is not None, "n_max required to expand a wire batch"
+        return expand_compact(batch, n_max)
     if isinstance(batch, WireBatch):
         assert n_max is not None, "n_max required to expand a WireBatch"
         return expand_wire(batch, n_max)

@@ -1,0 +1,148 @@
+"""Decompose bench.py step time into sampler / transfer / device phases.
+
+Runs the exact bench.py configuration and measures, separately:
+  1. raw pipeline pair production rate (host only),
+  2. device-resident step rate (same device batch re-stepped: dispatch +
+     compute, no host work, no transfer),
+  3. host-stack + device_put + step (fresh transfer each call, fixed
+     pre-sampled pairs),
+  4. the full production path (pipeline draw each call).
+
+Usage: timeout 3000 python scripts/diag_bench.py [steps_per_call]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (reuse constants)
+
+
+def main():
+    spc = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    import jax
+
+    from gcc_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    from gcc_tpu.config import ContrastConfig, SamplerConfig, TrainConfig
+    from gcc_tpu.graph.corpus import CorpusStore, synthetic_corpus
+    from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
+    from gcc_tpu.training import (
+        create_pretrain_state, make_packed_multi_step, stack_batches,
+    )
+
+    corpus_dir = os.environ.get("GCC_TPU_BENCH_CORPUS",
+                                "/tmp/gcc_tpu_bench_corpus")
+    if not os.path.exists(os.path.join(corpus_dir, "manifest.json")):
+        synthetic_corpus(corpus_dir, num_graphs=6, nodes_per_graph=100_000,
+                         avg_degree=12, seed=0)
+    store = CorpusStore.open(corpus_dir)
+
+    cfg = TrainConfig(
+        batch_size=bench.BATCH_SIZE,
+        sampler=SamplerConfig(rw_hops=bench.RW_HOPS),
+        contrast=ContrastConfig(moco=True, nce_k=bench.NCE_K),
+    )
+    pcfg = PipelineConfig(
+        batch_size=bench.BATCH_SIZE, n_max=bench.N_MAX, e_max=bench.E_MAX,
+        num_samples=10_000, num_workers=1, prefetch=8,
+        threads_per_worker=2, mode="thread",
+    )
+
+    def log(msg):
+        print(f"[diag] {msg}", flush=True)
+
+    with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
+        # --- 1. raw pipeline rate -------------------------------------
+        _ = [next(pipe) for _ in range(16)]  # warm
+        n_pairs = 128
+        t0 = time.time()
+        pairs = [next(pipe) for _ in range(n_pairs)]
+        dt = time.time() - t0
+        log(f"pipeline: {1e3 * dt / n_pairs:.2f} ms/pair "
+            f"({n_pairs / dt:.0f} pairs/s)")
+
+        bq, bk = pairs[0]
+        state, enc, tx = create_pretrain_state(
+            jax.random.PRNGKey(0), cfg, jax.device_put(bq),
+            total_steps=100_000, n_max=bench.N_MAX,
+        )
+        step_fn, pack, _unpack = make_packed_multi_step(
+            cfg, enc, tx, state, n_max=bench.N_MAX)
+        packed = pack(state)
+
+        # pre-stacked host batches for phases 2-3
+        stacks = []
+        for i in range(0, min(len(pairs), 8 * spc), spc):
+            chunk = pairs[i:i + spc]
+            if len(chunk) < spc:
+                break
+            stacks.append((stack_batches([q for q, _ in chunk]),
+                           stack_batches([k for _, k in chunk])))
+
+        # warm compile
+        dq, dk = jax.device_put(stacks[0][0]), jax.device_put(stacks[0][1])
+        packed, metrics = step_fn(packed, dq, dk)
+        _ = float(np.asarray(metrics["loss"])[-1])
+        log("compiled")
+
+        # --- 2. device-resident rate (reuse same device batch) --------
+        n_calls = 12
+        t0 = time.time()
+        for _ in range(n_calls):
+            packed, metrics = step_fn(packed, dq, dk)
+        _ = float(np.asarray(metrics["loss"])[-1])
+        dt = time.time() - t0
+        log(f"device-resident: {1e3 * dt / (n_calls * spc):.2f} ms/step "
+            f"({1e3 * dt / n_calls:.1f} ms/call)")
+
+        # --- 3. fresh transfer each call (no sampling) -----------------
+        t0 = time.time()
+        for i in range(n_calls):
+            sq, sk = stacks[i % len(stacks)]
+            packed, metrics = step_fn(packed, jax.device_put(sq),
+                                      jax.device_put(sk))
+        _ = float(np.asarray(metrics["loss"])[-1])
+        dt = time.time() - t0
+        log(f"with transfer: {1e3 * dt / (n_calls * spc):.2f} ms/step "
+            f"({1e3 * dt / n_calls:.1f} ms/call)")
+
+        # --- 3b. transfer-only (device_put, no step) -------------------
+        t0 = time.time()
+        outs = []
+        for i in range(n_calls):
+            sq, sk = stacks[i % len(stacks)]
+            outs.append(jax.device_put((sq, sk)))
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        bytes_per = sum(np.asarray(x).nbytes
+                        for x in jax.tree_util.tree_leaves(stacks[0]))
+        log(f"transfer-only: {1e3 * dt / n_calls:.2f} ms/call "
+            f"({bytes_per / 1e6:.2f} MB/call, "
+            f"{bytes_per * n_calls / dt / 1e6:.0f} MB/s)")
+        del outs
+
+        # --- 4. full path ----------------------------------------------
+        t0 = time.time()
+        for _ in range(n_calls):
+            chunk = [next(pipe) for _ in range(spc)]
+            sq = stack_batches([q for q, _ in chunk])
+            sk = stack_batches([k for _, k in chunk])
+            packed, metrics = step_fn(packed, jax.device_put(sq),
+                                      jax.device_put(sk))
+        _ = float(np.asarray(metrics["loss"])[-1])
+        dt = time.time() - t0
+        log(f"full path: {1e3 * dt / (n_calls * spc):.2f} ms/step "
+            f"({1e3 * dt / n_calls:.1f} ms/call)")
+
+
+if __name__ == "__main__":
+    main()

@@ -200,3 +200,56 @@ def test_multi_step_matches_sequential_single_steps():
     p2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_multi_step_matches_unpacked():
+    """Packed-state dispatch (training/packed.py) is bit-compatible with
+    the plain multi-step path: same losses, same final state."""
+    from gcc_tpu.training import (
+        make_packed_multi_step, make_train_multi_step, stack_batches,
+    )
+
+    rng = np.random.default_rng(0)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 300, 1500), rng.integers(0, 300, 1500),
+        num_nodes=300, symmetrize=True,
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        sampler=SamplerConfig(rw_hops=12),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=64),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    pairs = []
+    for i in range(4):
+        qs, ks = sample_contrastive_pairs(
+            g, rng.integers(0, 300, 8), cfg.sampler, rng_seed=i
+        )
+        pairs.append((batch_subgraphs(qs, n_max=32, e_max=256),
+                      batch_subgraphs(ks, n_max=32, e_max=256)))
+    sq = stack_batches([p[0] for p in pairs])
+    sk = stack_batches([p[1] for p in pairs])
+
+    state1, enc, tx = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, pairs[0][0], total_steps=100)
+    multi = make_train_multi_step(cfg, enc, tx)
+    state1, m1 = multi(state1, sq, sk)
+
+    state2, enc2, tx2 = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, pairs[0][0], total_steps=100)
+    step_fn, pack, unpack = make_packed_multi_step(
+        cfg, enc2, tx2, state2)
+    packed = pack(state2)
+    packed, m2 = step_fn(packed, sq, sk)
+    state2 = unpack(packed)
+
+    np.testing.assert_allclose(np.asarray(m2["loss"]),
+                               np.asarray(m1["loss"]), rtol=1e-6)
+    assert int(state2.step) == 4
+    assert int(state2.queue.index) == int(state1.queue.index)
+    for a, b in zip(jax.tree_util.tree_leaves(state1),
+                    jax.tree_util.tree_leaves(state2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -143,3 +143,60 @@ def test_wire_from_arrays_truncates_columns():
                             e_max=4)
     assert wire.src.shape == (2, 4)
     assert wire.n_edges.tolist() == [4, 2]
+
+
+def test_compact_rows_native_matches_numpy():
+    from gcc_tpu.sampling import native
+
+    rng = np.random.default_rng(0)
+    rows, e_cap = 6, 16
+    src = rng.integers(0, 30, (rows, e_cap)).astype(np.int16)
+    dst = rng.integers(0, 30, (rows, e_cap)).astype(np.int16)
+    e = np.array([3, 16, 0, 7, 16, 5], np.int32)
+    for cap in (64, 30, 10):
+        got = native.compact_rows(src, dst, e, cap)
+        # independent numpy reference
+        exp_src, exp_dst, off, e_exp = (
+            np.zeros(cap, np.int16), np.zeros(cap, np.int16), 0, [])
+        for i in range(rows):
+            take = min(int(e[i]), cap - off)
+            exp_src[off:off + take] = src[i, :take]
+            exp_dst[off:off + take] = dst[i, :take]
+            e_exp.append(take)
+            off += take
+        np.testing.assert_array_equal(got[0], exp_src)
+        np.testing.assert_array_equal(got[1], exp_dst)
+        np.testing.assert_array_equal(got[2], e_exp)
+        assert got[3] == off
+
+
+def test_expand_compact_matches_expand_wire():
+    """CompactWireBatch expansion reproduces the padded batch exactly
+    when nothing is truncated."""
+    import jax
+
+    from gcc_tpu.graph.batch import (
+        CompactWireBatch, WireBatch, expand_compact, expand_wire,
+    )
+    from gcc_tpu.sampling import native
+
+    rng = np.random.default_rng(1)
+    b, e_max, n_max = 4, 32, 16
+    n = np.array([5, 16, 2, 9], np.int32)
+    e = np.array([12, 32, 1, 20], np.int32)
+    src = np.zeros((b, e_max), np.int16)
+    dst = np.zeros((b, e_max), np.int16)
+    for i in range(b):
+        src[i, :e[i]] = rng.integers(0, n[i], e[i])
+        dst[i, :e[i]] = rng.integers(0, n[i], e[i])
+    seed_pos = np.zeros(b, np.int32)
+    wire = WireBatch(src=src, dst=dst, n_nodes=n, n_edges=e,
+                     seed_pos=seed_pos)
+    c_src, c_dst, c_e, total = native.compact_rows(src, dst, e, int(e.sum()))
+    cw = CompactWireBatch(src=c_src, dst=c_dst, n_nodes=n, n_edges=c_e,
+                          seed_pos=seed_pos, e_max=e_max)
+    p1 = expand_wire(wire, n_max)
+    p2 = expand_compact(cw, n_max)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p1),
+                     jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

@@ -257,8 +257,12 @@ def test_pe_pallas_kernel_interpret_matches_xla():
     m = (m + m.transpose(0, 2, 1)) / 2
     q0 = rng.normal(size=(b, n, k)).astype(np.float32)
 
+    # f32 power dtype / no polish: the reference below replicates the
+    # exact f32 round structure (the production bf16+polish path is
+    # covered by the subspace-vs-eigh oracle tests).
     kernel = partial(pe_pallas._pe_kernel, iters=12, orth_every=4,
-                     ns_steps=3, k=k, graphs_per_block=1)
+                     ns_steps=3, k=k, graphs_per_block=1,
+                     power_dtype=jnp.float32, polish=0, final_ns=0)
     out_t = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -285,3 +289,27 @@ def test_pe_pallas_kernel_interpret_matches_xla():
             q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, g)
     np.testing.assert_allclose(np.asarray(out), np.asarray(q), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_dense_adjacency_onehot_matches_scatter():
+    """The one-hot MXU adjacency builder is exactly the scatter oracle
+    (bf16 one-hots are exact 0/1; f32 accumulation is exact counting)."""
+    from gcc_tpu.ops.aggregate import (
+        build_dense_adjacency, build_dense_adjacency_scatter, node_degrees,
+    )
+
+    rng = np.random.default_rng(3)
+    graphs = []
+    for n in (5, 11, 16):
+        src = rng.integers(0, n, 4 * n)
+        dst = rng.integers(0, n, 4 * n)
+        # keep self-loops and duplicate edges: multiplicities must count
+        graphs.append((np.concatenate([src, dst]),
+                       np.concatenate([dst, src]), n))
+    batch = make_batch(graphs, n_max=16, e_max=128)
+    a1 = np.asarray(build_dense_adjacency(batch))
+    a2 = np.asarray(build_dense_adjacency_scatter(batch))
+    np.testing.assert_array_equal(a1, a2)
+    d1 = np.asarray(node_degrees(batch, jnp.asarray(a1)))
+    d2 = np.asarray(node_degrees(batch))
+    np.testing.assert_allclose(d1, d2)

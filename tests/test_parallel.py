@@ -97,8 +97,11 @@ def test_dp_train_step_matches_single_device():
             contrast=ContrastConfig(moco=True, nce_k=64),
             optim=OptimConfig(learning_rate=0.01),
         )
+        # DP shards the batch dim of every wire leaf — needs the padded
+        # (B, E_max) wire layout, not the flat compact one.
         pcfg = PipelineConfig(batch_size=8, n_max=16, e_max=128,
-                              num_workers=0, super_batch=1)
+                              num_workers=0, super_batch=1,
+                              compact_wire=False)
         shard = ShardSampler(store, [0], cfg.sampler, pcfg, seed=0)
         bq, bk = shard.next_pair()
 

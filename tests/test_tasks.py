@@ -77,3 +77,19 @@ def test_edgelist_hindex_binarization(tmp_path):
     assert y.shape == (4, 2)
     # median of [5,10,20,40] = 15 -> labels [0,0,1,1]
     np.testing.assert_array_equal(y.argmax(1), [0, 0, 1, 1])
+
+
+def test_similarity_search_baseline_model(tmp_path):
+    """Classical-model path (reference scripts/similarity_search/baseline.sh):
+    the task trains the baseline embedder on each graph directly."""
+    root = str(tmp_path)
+    panther = os.path.join(root, "panther")
+    edges = [(i, i + 1, 1) for i in range(1, 8)] + [(1, 8, 1)]
+    names = [(f"a{i}", i) for i in range(1, 9)]
+    write_panther(panther, "kdd", edges, names)
+    write_panther(panther, "icdm", edges, names)
+    task = SimilaritySearch("kdd", "icdm", 4, model="prone", data_root=root)
+    res = task.train()
+    # Identical graphs + deterministic embedder -> shared authors retrieve
+    # themselves perfectly.
+    assert res["Recall @ 20"] == 1.0
