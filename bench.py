@@ -41,8 +41,10 @@ N_MAX = 256
 E_MAX = 2048
 RW_HOPS = 256
 NCE_K = 16384
-WARMUP_STEPS = 8
-MEASURE_STEPS = 60
+WARMUP_STEPS = 16
+# Long enough to amortize transient host stalls (the remote-relay host
+# shows multi-ms scheduling noise); ~1.5 s of steady state at 5 ms/step.
+MEASURE_STEPS = 240
 # lax.scan-unrolled steps per device dispatch; the training state crosses
 # the dispatch boundary packed into 3 flat arrays (training/packed.py).
 STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "8"))

@@ -170,9 +170,20 @@ void ns_visit(const Csr& g, int64_t seed, int64_t expand, int64_t hops,
 int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
                       int32_t* out_dst, int64_t e_cap) {
   int64_t count = 0;
-  for (int32_t lu = 0; lu < (int32_t)set.nodes.size(); ++lu) {
+  const int32_t n = (int32_t)set.nodes.size();
+  for (int32_t lu = 0; lu < n; ++lu) {
     const int32_t u = set.nodes[lu];
-    for (int64_t j = g.indptr[u]; j < g.indptr[u + 1]; ++j) {
+    if (lu + 1 < n) {  // overlap the next node's CSR row fetch
+      const int32_t nxt = set.nodes[lu + 1];
+      __builtin_prefetch(&g.indptr[nxt], 0, 1);
+    }
+    const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
+    // Two passes per row: prefetch the random stamp[] probes, then test —
+    // the membership lookups are the extraction's cache-miss hot spot.
+    for (int64_t j = row_begin; j < row_end; ++j) {
+      __builtin_prefetch(&set.stamp[g.indices[j]], 0, 1);
+    }
+    for (int64_t j = row_begin; j < row_end; ++j) {
       const int32_t v = g.indices[j];
       if (!set.contains(v)) continue;
       if (count < e_cap) {

@@ -110,7 +110,7 @@ class WireBatch:
 @dataclasses.dataclass(frozen=True)
 class CompactWireBatch:
     """Flat-edge wire form: per-graph edge runs concatenated into one
-    (E_tot,) buffer instead of a padded (B, E_max) grid.
+    (2, E_tot) buffer instead of a padded (B, E_max) grid.
 
     At the canonical MoCo config the mean subgraph has ~200 edges while
     the no-truncation bucket needs E_max = 2048, so per-graph padding
@@ -120,26 +120,45 @@ class CompactWireBatch:
     exact in ``n_edges``). Expansion back to the padded layout is a
     device-side gather (:func:`expand_compact`).
 
-    src/dst: (E_tot,) int16 local node ids; n_nodes/n_edges/seed_pos:
-    (B,) int32. ``e_max`` (static) is the padded bucket the batch
-    expands into on device.
+    Exactly TWO array leaves — remote-relay dispatch pays ~0.5 ms per
+    transferred leaf, so the five logical fields ride in two buffers:
+      edges: (2, E_tot) int16 — row 0 = src, row 1 = dst (local ids).
+      meta:  (3, B) int32 — rows n_nodes, n_edges, seed_pos.
+    ``e_max`` (static) is the padded bucket the batch expands into.
     """
 
-    src: jax.Array
-    dst: jax.Array
-    n_nodes: jax.Array
-    n_edges: jax.Array
-    seed_pos: jax.Array
+    edges: jax.Array
+    meta: jax.Array
     e_max: int = dataclasses.field(metadata=dict(static=True), default=2048)
 
     @property
+    def src(self) -> jax.Array:
+        return self.edges[0]
+
+    @property
+    def dst(self) -> jax.Array:
+        return self.edges[1]
+
+    @property
+    def n_nodes(self) -> jax.Array:
+        return self.meta[0]
+
+    @property
+    def n_edges(self) -> jax.Array:
+        return self.meta[1]
+
+    @property
+    def seed_pos(self) -> jax.Array:
+        return self.meta[2]
+
+    @property
     def batch_size(self) -> int:
-        return self.n_nodes.shape[0]
+        return self.meta.shape[1]
 
 
 jax.tree_util.register_dataclass(
     CompactWireBatch,
-    data_fields=["src", "dst", "n_nodes", "n_edges", "seed_pos"],
+    data_fields=["edges", "meta"],
     meta_fields=["e_max"],
 )
 

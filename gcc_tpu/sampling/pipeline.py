@@ -84,6 +84,8 @@ class ShardSampler:
         self._cdf = np.ascontiguousarray(np.cumsum(self.weights))
         self._sample_counter = 0
         self._ready: list = []
+        self._wire_buf = None    # reused (bsz, e_max) super-batch buffers
+        self._native_buf = None  # reused native-call output buffers
 
     def next_pair(self) -> tuple[WireBatch, WireBatch]:
         if not self._ready:
@@ -108,11 +110,21 @@ class ShardSampler:
         gidx = np.searchsorted(self.offsets, flat, side="right") - 1
         nidx = flat - self.offsets[gidx]
 
-        q_src = np.zeros((bsz, e_max), np.int16)
-        q_dst = np.zeros((bsz, e_max), np.int16)
-        k_src = np.zeros((bsz, e_max), np.int16)
-        k_dst = np.zeros((bsz, e_max), np.int16)
-        counts = np.zeros((4, bsz), np.int32)  # q_n, q_e, k_n, k_e
+        # Reused across super-batches: allocating/zeroing ~4 MB of int16
+        # buffers per call costs more than the sampling itself on the
+        # 2-core host. Row tails past n_edges hold stale bytes, which
+        # every consumer masks (device expand) or skips (compaction).
+        if self._wire_buf is None:
+            self._wire_buf = tuple(
+                np.empty((bsz, e_max), np.int16) for _ in range(4)
+            ) + (np.empty((4, bsz), np.int32),)
+        q_src, q_dst, k_src, k_dst, counts = self._wire_buf
+        if self._native_buf is None and native.native_available():
+            self._native_buf = tuple(
+                np.empty((bsz, e_max), np.int16) if j % 4 < 2
+                else np.empty(bsz, np.int32)
+                for j in range(8)
+            )
 
         # The fused path assumes key seed == query seed (step_dist[0]==1,
         # the default); the generic path handles step_dist walks.
@@ -127,12 +139,14 @@ class ShardSampler:
             if use_fused:
                 budgets = rwr_budgets(graph, seeds, self.cfg,
                                       degree_power=True)
+                s = len(rows)
                 out = native.sample_wire_pairs(
                     graph, seeds, seeds, budgets, budgets,
                     self.cfg.restart_prob, self.cfg.aug,
                     self.cfg.num_neighbors, self.cfg.rw_hops,
                     self.rng_seed, ids, self.pcfg.n_max, e_max,
                     n_threads=self.pcfg.threads_per_worker,
+                    out=tuple(b[:s] for b in self._native_buf),
                 )
                 q_src[rows], q_dst[rows] = out[0], out[1]
                 counts[0][rows], counts[1][rows] = out[2], out[3]
@@ -168,14 +182,16 @@ class ShardSampler:
                                   e_tot, e_max),
                 ))
             else:
+                # .copy(): the underlying buffers are reused by the next
+                # super-batch while these batches sit in the prefetch queue.
                 pairs.append((
-                    WireBatch(src=q_src[lo:hi], dst=q_dst[lo:hi],
-                              n_nodes=counts[0, lo:hi],
-                              n_edges=counts[1, lo:hi],
+                    WireBatch(src=q_src[lo:hi].copy(), dst=q_dst[lo:hi].copy(),
+                              n_nodes=counts[0, lo:hi].copy(),
+                              n_edges=counts[1, lo:hi].copy(),
                               seed_pos=np.zeros(step, np.int32)),
-                    WireBatch(src=k_src[lo:hi], dst=k_dst[lo:hi],
-                              n_nodes=counts[2, lo:hi],
-                              n_edges=counts[3, lo:hi],
+                    WireBatch(src=k_src[lo:hi].copy(), dst=k_dst[lo:hi].copy(),
+                              n_nodes=counts[2, lo:hi].copy(),
+                              n_edges=counts[3, lo:hi].copy(),
                               seed_pos=np.zeros(step, np.int32)),
                 ))
         return pairs
@@ -183,9 +199,10 @@ class ShardSampler:
     @staticmethod
     def _compact(src, dst, n, e, e_tot: int, e_max: int) -> CompactWireBatch:
         c_src, c_dst, c_e, total = native.compact_rows(src, dst, e, e_tot)
+        meta = np.stack([np.asarray(n, np.int32), c_e,
+                         np.zeros(len(n), np.int32)])
         return CompactWireBatch(
-            src=c_src, dst=c_dst, n_nodes=np.ascontiguousarray(n, np.int32),
-            n_edges=c_e, seed_pos=np.zeros(len(n), np.int32), e_max=e_max,
+            edges=np.stack([c_src, c_dst]), meta=meta, e_max=e_max,
         )
 
 

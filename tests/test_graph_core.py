@@ -193,8 +193,8 @@ def test_expand_compact_matches_expand_wire():
     wire = WireBatch(src=src, dst=dst, n_nodes=n, n_edges=e,
                      seed_pos=seed_pos)
     c_src, c_dst, c_e, total = native.compact_rows(src, dst, e, int(e.sum()))
-    cw = CompactWireBatch(src=c_src, dst=c_dst, n_nodes=n, n_edges=c_e,
-                          seed_pos=seed_pos, e_max=e_max)
+    cw = CompactWireBatch(edges=np.stack([c_src, c_dst]),
+                          meta=np.stack([n, c_e, seed_pos]), e_max=e_max)
     p1 = expand_wire(wire, n_max)
     p2 = expand_compact(cw, n_max)
     for a, b_ in zip(jax.tree_util.tree_leaves(p1),
