@@ -259,6 +259,12 @@ def cmd_eval_sim(args):
             raise SystemExit("--emb1/--emb2 required with model "
                              "from_numpy_align")
         kwargs = {"emb_path_1": args.emb1, "emb_path_2": args.emb2}
+    elif args.emb1 or args.emb2:
+        raise SystemExit(
+            f"--emb1/--emb2 only apply to model from_numpy_align; model "
+            f"{args.model!r} trains from the graphs and would silently "
+            f"ignore them"
+        )
     task = SimilaritySearch(d1, d2, args.hidden_size, model=args.model,
                             data_root=args.data_root, **kwargs)
     print(task.train())

@@ -34,16 +34,22 @@ from gcc_tpu.ops.aggregate import build_dense_adjacency, node_degrees
 _PAD_EIGENVALUE = -2.0
 
 
-def _use_pallas() -> bool:
-    """Fused Pallas PE path: default on TPU backends (2.1x over the XLA
-    op-by-op fallback, which is launch-overhead-bound); CPU tests always
-    use the XLA fallback. Opt out with GCC_TPU_PE_PALLAS=0."""
+def _use_pallas() -> str:
+    """Fused Pallas PE path: "compiled" on TPU backends (the XLA op-by-op
+    fallback is launch-overhead-bound), "" (fallback) elsewhere. Set
+    GCC_TPU_PE_PALLAS=0 to opt out, or =interpret to run the kernel in
+    Pallas interpret mode on any backend (oracle tests of the production
+    kernel configuration on CPU)."""
     import os
 
     import jax
 
-    return (os.environ.get("GCC_TPU_PE_PALLAS", "1") == "1"
-            and jax.default_backend() == "tpu")
+    flag = os.environ.get("GCC_TPU_PE_PALLAS", "1")
+    if flag == "interpret":
+        return "interpret"
+    if flag == "1" and jax.default_backend() == "tpu":
+        return "compiled"
+    return ""
 
 
 def normalized_adjacency(
@@ -69,7 +75,7 @@ def laplacian_positional_embedding(
     adj: jax.Array | None = None,
     method: str = "eigh",
     iters: int = 16,
-    orth_every: int = 8,
+    orth_every: int = 4,
     power_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """(B, N_max, pos_size) positional embeddings.
@@ -174,16 +180,23 @@ def _subspace_topk(
 
     eye_k = jnp.eye(k, dtype=m.dtype)
 
-    def orth_ns(q, steps: int = 3):
+    def orth_ns(q, steps: int = 4):
         # Newton-Schulz orthonormalization: Q ← (3Q − Q QᵀQ)/2 after
-        # scaling σ_max(Q) ≤ 1 (column-normalize then /√k). Pure matmuls
-        # (MXU-friendly, fusable) — no Cholesky/triangular-solve, which
-        # run as slow unfused small kernels on TPU. Partial
-        # orthogonalization between power iterations is enough to keep
-        # the basis conditioned; the final CholeskyQR is exact.
-        q = colnorm(q) * (1.0 / jnp.sqrt(1.0 * k))
-        for _ in range(steps):
-            gram = jnp.einsum("bni,bnj->bij", q, q)
+        # scaling σ_max just below 1 via the Gershgorin bound
+        # σ_max² ≤ ‖QᵀQ‖_∞ (a fixed 1/√k scale keeps NS in its linear
+        # regime, where the power iteration's collapse onto the dominant
+        # eigenvector outruns the re-orthogonalization — see
+        # ops/pe_pallas.py ns_orth). Pure matmuls, no
+        # Cholesky/triangular-solve in the hot loop.
+        q = colnorm(q)
+        gram = jnp.einsum("bni,bnj->bij", q, q)
+        bound = jnp.max(jnp.sum(jnp.abs(gram), axis=2), axis=1)
+        scale = jax.lax.rsqrt(jnp.maximum(bound, 1e-20))
+        q = q * scale[:, None, None]
+        gram = gram * (scale * scale)[:, None, None]
+        for i in range(steps):
+            if i:
+                gram = jnp.einsum("bni,bnj->bij", q, q)
             q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, gram)
         return jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
 
@@ -200,7 +213,8 @@ def _subspace_topk(
     # The fused kernel holds M (N², f32+bf16) in VMEM; beyond ~1k nodes
     # per graph that no longer fits (~16MB VMEM/core) — large buckets use
     # the XLA path.
-    if _use_pallas() and n * n * 6 <= (4 << 20):
+    pallas_mode = _use_pallas()
+    if pallas_mode and n * n * 6 <= (4 << 20):
         # Fused single-kernel iteration (see ops/pe_pallas.py): the XLA
         # op-by-op path is launch-overhead-bound at these sizes. The
         # kernel's f32 Newton-Schulz finish returns an orthonormal basis,
@@ -210,7 +224,8 @@ def _subspace_topk(
 
         q = pe_subspace_iterate(m_shift, colnorm(q), iters=iters,
                                 orth_every=orth_every,
-                                power_dtype=power_dtype)
+                                power_dtype=power_dtype,
+                                interpret=(pallas_mode == "interpret"))
         q = jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
     else:
         # Same mixed-precision scheme as the kernel: power/NS matmuls

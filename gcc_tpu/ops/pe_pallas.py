@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
                ns_steps: int, k: int, graphs_per_block: int,
                power_dtype=jnp.bfloat16, polish: int = 2,
-               final_ns: int = 3):
+               final_ns: int = 4):
     """Basis stored TRANSPOSED as Qᵀ (k, N): with k=32 and N=256+, this
     puts the large dim on the 128-lane axis (Qᵀ@M is (k,N)@(N,N) with
     full lanes) instead of wasting 3/4 of the MXU on a k-lane layout.
@@ -42,7 +42,6 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
     `graphs_per_block` graphs are processed per grid step — the kernel
     is per-program-overhead-bound at these sizes, so fewer, fatter
     programs win."""
-    inv_sqrt_k = 1.0 / (k ** 0.5)
     rounds = max(1, iters // orth_every)
     m = m_ref[...]    # (G, N, N) f32
     m_lo = m.astype(power_dtype)
@@ -64,8 +63,37 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
         norm = jnp.sqrt(jnp.sum(qt * qt, axis=2, keepdims=True))
         return qt / jnp.maximum(norm, 1e-20)
 
-    def normalize(qt):
-        return colunit(qt) * inv_sqrt_k
+    def bgram(qt, lo: bool):
+        a = qt.astype(power_dtype) if lo else qt
+        return jax.lax.dot_general(
+            a, a, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def ns_orth(qt, steps: int, lo: bool):
+        # Newton-Schulz orthonormalization, Q ← (3Q − Q QᵀQ)/2, i.e.
+        # Qᵀ ← 1.5 Qᵀ − 0.5 G Qᵀ with G = Qᵀ·Q (rows of Qᵀ are columns
+        # of Q). Convergence needs σ_max(Q) ≤ √3 AND is only quadratic
+        # near σ = 1: scale unit columns by the Gershgorin bound
+        # σ_max² ≤ ‖QᵀQ‖_∞ so σ_max lands just below 1. This actually
+        # orthogonalizes correlated bases (a fixed 1/√k scale keeps NS in
+        # its linear regime where column correlations barely contract),
+        # and rank-deficient graphs (n_b < k small components, dependent
+        # columns with σ_max up to √(k/n_b)) stay convergent — zero
+        # singular values remain zero instead of blowing up.
+        qt = colunit(qt)
+        gram = bgram(qt, lo)
+        bound = jnp.max(jnp.sum(jnp.abs(gram), axis=2), axis=1)  # (G,)
+        scale = jax.lax.rsqrt(jnp.maximum(bound, 1e-20))
+        qt = qt * scale[:, None, None]
+        gram = gram * (scale * scale)[:, None, None]
+        for i in range(steps):
+            if i:
+                gram = bgram(qt, lo)
+            corr = (bmm_lo(gram, qt.astype(power_dtype)) if lo
+                    else bmm(gram, qt))
+            qt = 1.5 * qt - 0.5 * corr
+        return qt
 
     # One round = orth_every power-iteration matmuls + a Newton-Schulz
     # re-orthonormalization. fori_loop keeps the Mosaic program small
@@ -73,49 +101,30 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
     def round_body(_, qt):
         for _ in range(orth_every):
             qt = bmm_lo(qt, m_lo)
-        # Column normalize (rows of Qᵀ), then Newton-Schulz:
-        # Q ← (3Q − Q QᵀQ)/2 ⇔ Qᵀ ← 1.5 Qᵀ − 0.5 G Qᵀ, G = Qᵀ·Q.
-        qt = normalize(qt)
-        for _ in range(ns_steps):
-            a_lo = qt.astype(power_dtype)
-            gram = jax.lax.dot_general(
-                a_lo, a_lo, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            qt = 1.5 * qt - 0.5 * bmm_lo(gram, qt.astype(power_dtype))
-        return qt
+        return ns_orth(qt, ns_steps, lo=True)
 
     qt = jax.lax.fori_loop(0, rounds, round_body, q0)
     # Full-f32 polish steps: power iteration contracts the bf16 rounding
     # noise (outside the dominant subspace) injected by the rounds above.
-    # Unit column scale (no 1/√k) so the NS finish below starts at
-    # σ_max ≈ 1, where its convergence is quadratic.
     for _ in range(polish):
         qt = colunit(bmm(qt, m))
-    # Full-f32 Newton-Schulz finish: quadratic convergence to an
-    # orthonormal basis, so the caller can run Rayleigh-Ritz directly
-    # without a (slow, unfused) CholeskyQR pass. The basis enters with
-    # near-orthonormal unit columns (NS rounds + gentle power polish), so
-    # σ_max ≈ 1 + O(1e-2) — well inside NS's √3 convergence radius.
-    for _ in range(final_ns):
-        gram = jax.lax.dot_general(
-            qt, qt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        qt = 1.5 * qt - 0.5 * jax.lax.dot_general(
-            gram, qt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+    # Full-f32 Newton-Schulz finish: returns an orthonormal basis so the
+    # caller can run Rayleigh-Ritz directly, with no (slow, unfused)
+    # CholeskyQR pass.
+    if final_ns:
+        qt = ns_orth(qt, final_ns, lo=False)
     out_ref[...] = qt
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "orth_every",
                                              "ns_steps", "power_dtype",
-                                             "polish", "final_ns"))
+                                             "polish", "final_ns",
+                                             "interpret"))
 def pe_subspace_iterate(m: jax.Array, q0: jax.Array, iters: int = 24,
-                        orth_every: int = 4, ns_steps: int = 3,
+                        orth_every: int = 4, ns_steps: int = 4,
                         power_dtype=jnp.bfloat16,
-                        polish: int = 2, final_ns: int = 3) -> jax.Array:
+                        polish: int = 2, final_ns: int = 4,
+                        interpret: bool = False) -> jax.Array:
     """Run the fused subspace iteration: m (B, N, N), q0 (B, N, k) → (B, N, k).
 
     No VJP is defined — positional embeddings are input features
@@ -150,5 +159,6 @@ def pe_subspace_iterate(m: jax.Array, q0: jax.Array, iters: int = 24,
             flops=b * flops, bytes_accessed=b * (n * n + 2 * n * k) * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(m, q0t)
     return jnp.swapaxes(out_t, 1, 2)

@@ -57,11 +57,13 @@ class PipelineConfig:
     super_batch: int = 8
     # Ship batches as CompactWireBatch (flat per-batch edge buffer of
     # e_tot slots) instead of padded (B, E_max) rows: ~4x fewer wire
-    # bytes at the canonical config, which matters on transfer/CPU-bound
-    # remote-relay hosts. e_tot=None → batch_size * e_max // 4 (≈2.5x
-    # the observed p99 batch edge total; overflowing batches are
-    # truncated host-side with exact counts kept).
-    compact_wire: bool = True
+    # bytes, but the device-side gather re-expansion costs ~0.8 ms/step
+    # on TPU (index ops don't map to the MXU/VPU), which outweighs the
+    # transfer savings at the canonical config — padded rows expand for
+    # free (compares + reshapes). Keep available for transfer-starved
+    # links. e_tot=None → batch_size * e_max // 4 (≈2.5x the observed
+    # p99 batch edge total; overflow truncates host-side, exact counts).
+    compact_wire: bool = False
     e_tot: int | None = None
 
 
@@ -86,6 +88,8 @@ class ShardSampler:
         self._ready: list = []
         self._wire_buf = None    # reused (bsz, e_max) super-batch buffers
         self._native_buf = None  # reused native-call output buffers
+        self.dropped_edges = 0       # compact-wire overflow accounting
+        self.truncated_batches = 0
 
     def next_pair(self) -> tuple[WireBatch, WireBatch]:
         if not self._ready:
@@ -196,9 +200,27 @@ class ShardSampler:
                 ))
         return pairs
 
-    @staticmethod
-    def _compact(src, dst, n, e, e_tot: int, e_max: int) -> CompactWireBatch:
+    def _compact(self, src, dst, n, e, e_tot: int,
+                 e_max: int) -> CompactWireBatch:
         c_src, c_dst, c_e, total = native.compact_rows(src, dst, e, e_tot)
+        dropped = int(np.asarray(e, np.int64).sum()) - total
+        if dropped > 0:
+            # Batch overflowed the flat buffer: trailing graphs lost
+            # edges (counts in n_edges stay exact, so training sees
+            # fewer edges, never corrupt ones). Surface it — a corpus
+            # whose edge distribution exceeds the e_tot sizing should be
+            # run with a bigger PipelineConfig.e_tot.
+            self.dropped_edges += dropped
+            self.truncated_batches += 1
+            if self.truncated_batches in (1, 100, 10_000):
+                import sys
+
+                print(
+                    f"gcc_tpu sampler: compact-wire overflow — dropped "
+                    f"{dropped} edges (batch sum > e_tot={e_tot}); "
+                    f"{self.truncated_batches} batches affected so far. "
+                    f"Raise PipelineConfig.e_tot.", file=sys.stderr,
+                )
         meta = np.stack([np.asarray(n, np.int32), c_e,
                          np.zeros(len(n), np.int32)])
         return CompactWireBatch(

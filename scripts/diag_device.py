@@ -17,6 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
+from gcc_tpu.training.pretrain import _as_padded  # noqa: E402
 
 
 def main():
@@ -36,7 +37,6 @@ def main():
     )
     import gcc_tpu.features.featurize as featurize_mod
     from gcc_tpu.features import featurize_batch
-    from gcc_tpu.graph.batch import expand_wire
 
     corpus_dir = os.environ.get("GCC_TPU_BENCH_CORPUS",
                                 "/tmp/gcc_tpu_bench_corpus")
@@ -101,8 +101,8 @@ def main():
             def body(c, xs):
                 q, k = xs
                 from gcc_tpu.graph.batch import concat_padded
-                both = concat_padded(expand_wire(q, bench.N_MAX),
-                                     expand_wire(k, bench.N_MAX))
+                both = concat_padded(_as_padded(q, bench.N_MAX),
+                                     _as_padded(k, bench.N_MAX))
                 f = featurize_batch(both, cfg.encoder.positional_embedding_size,
                                     pe_method=cfg.encoder.pe_method)
                 return c + jnp.sum(f.pos[0, 0]), None

@@ -18,6 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
+from gcc_tpu.training.pretrain import _as_padded  # noqa: E402
 
 
 def main():
@@ -33,7 +34,7 @@ def main():
     from gcc_tpu.graph.corpus import CorpusStore, synthetic_corpus
     from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
     from gcc_tpu.training import stack_batches
-    from gcc_tpu.graph.batch import concat_padded, expand_wire
+    from gcc_tpu.graph.batch import concat_padded
     from gcc_tpu.ops.aggregate import build_dense_adjacency
     from gcc_tpu.features.positional import (
         laplacian_positional_embedding, normalized_adjacency,
@@ -67,8 +68,8 @@ def main():
         def run(bq_stack, bk_stack):
             def body(c, xs):
                 q, k = xs
-                both = concat_padded(expand_wire(q, bench.N_MAX),
-                                     expand_wire(k, bench.N_MAX))
+                both = concat_padded(_as_padded(q, bench.N_MAX),
+                                     _as_padded(k, bench.N_MAX))
                 out = fn(both)
                 return c + jnp.sum(out), None
 

@@ -72,7 +72,11 @@ def test_pipeline_sync_and_workers(tmp_path):
                           num_workers=0)
     with PretrainPipeline(store, scfg, pcfg) as pipe:
         bq, bk = next(pipe)
-        assert bq.batch_size == 4 and bq.src.shape == (4 * 256 // 4,)
+        from gcc_tpu.graph.batch import CompactWireBatch
+
+        expect = ((4 * 256 // 4,) if isinstance(bq, CompactWireBatch)
+                  else (4, 256))
+        assert bq.batch_size == 4 and bq.src.shape == expect
         assert pipe.steps_per_epoch == 4
     # Worker-process mode produces batches too.
     pcfg2 = PipelineConfig(batch_size=4, n_max=32, e_max=256, num_samples=16,

@@ -277,15 +277,22 @@ def test_pe_pallas_kernel_interpret_matches_xla():
     out = jnp.swapaxes(out_t, 1, 2)
 
     # XLA reference of the same round-based iteration (orth_every
-    # matmuls then Newton-Schulz, every round including the last).
+    # matmuls then Gershgorin-scaled Newton-Schulz, every round
+    # including the last).
     q = jnp.asarray(q0)
     for _round in range(12 // 4):
         for _ in range(4):
             q = jnp.einsum("bij,bjk->bik", jnp.asarray(m), q)
         norm = jnp.sqrt((q * q).sum(axis=1, keepdims=True))
-        q = q / jnp.maximum(norm, 1e-20) / np.sqrt(k)
-        for _ in range(3):
-            g = jnp.einsum("bni,bnj->bij", q, q)
+        q = q / jnp.maximum(norm, 1e-20)
+        g = jnp.einsum("bni,bnj->bij", q, q)
+        bound = jnp.max(jnp.sum(jnp.abs(g), axis=2), axis=1)
+        s = 1.0 / jnp.sqrt(jnp.maximum(bound, 1e-20))
+        q = q * s[:, None, None]
+        g = g * (s * s)[:, None, None]
+        for i in range(3):
+            if i:
+                g = jnp.einsum("bni,bnj->bij", q, q)
             q = 1.5 * q - 0.5 * jnp.einsum("bnk,bkj->bnj", q, g)
     np.testing.assert_allclose(np.asarray(out), np.asarray(q), rtol=2e-4,
                                atol=2e-4)
@@ -313,3 +320,39 @@ def test_dense_adjacency_onehot_matches_scatter():
     d1 = np.asarray(node_degrees(batch, jnp.asarray(a1)))
     d2 = np.asarray(node_degrees(batch))
     np.testing.assert_allclose(d1, d2)
+
+
+def test_pallas_production_config_interpret_vs_eigh(monkeypatch):
+    """The PRODUCTION kernel path (bf16 power steps + f32 polish +
+    Newton-Schulz finish) run in Pallas interpret mode must span the
+    exact-eigh top-k per column, including a rank-deficient tiny
+    component (n_b < k) in the same batch — the case where an unguarded
+    NS finish diverges."""
+    monkeypatch.setenv("GCC_TPU_PE_PALLAS", "interpret")
+    rng = np.random.default_rng(4)
+    n = 30
+    src = rng.integers(0, n, 140)
+    dst = rng.integers(0, n, 140)
+    keep = src != dst
+    src, dst = np.concatenate([src[keep], dst[keep]]), np.concatenate(
+        [dst[keep], src[keep]]
+    )
+    # graph 2: a 5-node path — rank 5 < k=8 columns.
+    tiny = ([0, 1, 1, 2, 2, 3, 3, 4], [1, 0, 2, 1, 3, 2, 4, 3], 5)
+    batch = make_batch([(src, dst, n), tiny], n_max=32, e_max=512)
+    approx = np.asarray(
+        laplacian_positional_embedding(batch, 8, method="subspace",
+                                       iters=60, orth_every=4)
+    )
+    assert np.isfinite(approx).all()
+    assert np.abs(approx).max() <= 1.0 + 1e-4  # row-normalized, no blow-up
+    exact = np.asarray(
+        laplacian_positional_embedding(batch, 8, method="eigh")
+    )
+    for j in range(4):  # leading columns of the big graph
+        a, b = exact[0, :n, j], approx[0, :n, j]
+        c = abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert c > 0.95, f"col {j}: cosine {c}"
+    # Tiny graph: k_b = 3 valid columns, all finite and nonzero.
+    assert np.abs(approx[1, :5, :3]).sum() > 0
+    assert np.abs(approx[1, :, 3:]).max() == 0  # masked columns stay zero
