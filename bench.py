@@ -42,9 +42,10 @@ E_MAX = 2048
 RW_HOPS = 256
 NCE_K = 16384
 WARMUP_STEPS = 16
-# Long enough to amortize transient host stalls (the remote-relay host
-# shows multi-ms scheduling noise); ~1.5 s of steady state at 5 ms/step.
-MEASURE_STEPS = 240
+# The relay host cycles through minute-scale fast/slow phases (~2x);
+# measure for ~20-30s so the median chunk reflects steady state rather
+# than whichever phase the run started in.
+MEASURE_STEPS = 3840
 # lax.scan-unrolled steps per device dispatch; the training state crosses
 # the dispatch boundary packed into 3 flat arrays (training/packed.py).
 STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "8"))
@@ -119,27 +120,39 @@ def main():
         _ = float(np.asarray(metrics["loss"])[-1])
         note("warmup done; measuring")
 
-        edge_messages = 0.0
-        measured_steps = 0
-        t0 = time.time()
-        for _ in range(max(1, MEASURE_STEPS // STEPS_PER_CALL)):
-            sq, sk, msgs = next_call()
-            edge_messages += msgs
-            measured_steps += STEPS_PER_CALL
-            packed, metrics = step_fn(packed, jax.device_put(sq),
-                                      jax.device_put(sk))
-        last_loss = float(np.asarray(metrics["loss"])[-1])  # forces sync
-        elapsed = time.time() - t0
+        # The relay host shows multi-second slow phases unrelated to this
+        # process; measure in chunks and report the MEDIAN chunk rate
+        # (steady-state throughput, robust to transient stalls).
+        n_chunks = 8
+        calls_per_chunk = max(1, MEASURE_STEPS // STEPS_PER_CALL // n_chunks)
+        steps_per_chunk = calls_per_chunk * STEPS_PER_CALL
+        chunks = []  # (edge_messages, seconds) per chunk
+        last_loss = 0.0
+        for _c in range(n_chunks):
+            edge_messages = 0.0
+            t0 = time.time()
+            for _ in range(calls_per_chunk):
+                sq, sk, msgs = next_call()
+                edge_messages += msgs
+                packed, metrics = step_fn(packed, jax.device_put(sq),
+                                          jax.device_put(sk))
+            last_loss = float(np.asarray(metrics["loss"])[-1])  # sync
+            chunks.append((edge_messages, time.time() - t0))
+            note(f"chunk {_c}: {edge_messages / chunks[-1][1] / 1e6:.2f}M "
+                 f"edge-msgs/s")
+        chunks.sort(key=lambda ms: ms[0] / ms[1])
+        med_msgs, med_secs = chunks[n_chunks // 2]
 
-    value = edge_messages / elapsed
+    value = med_msgs / med_secs
     print(json.dumps({
         "metric": "edge_messages/s/chip",
         "value": round(value, 1),
         "unit": "edge-messages/s",
         "vs_baseline": round(value / REFERENCE_EDGE_MSGS_PER_S, 2),
         "detail": {
-            "step_ms": round(elapsed / measured_steps * 1000, 2),
-            "steps_per_s": round(measured_steps / elapsed, 2),
+            "step_ms": round(med_secs / steps_per_chunk * 1000, 2),
+            "steps_per_s": round(steps_per_chunk / med_secs, 2),
+            "chunk_rates_M": [round(m / s / 1e6, 2) for m, s in chunks],
             "loss": round(last_loss, 4),
             "config": f"moco k={NCE_K} b={BATCH_SIZE} gin5x64 rw{RW_HOPS} "
                       f"bucket({N_MAX},{E_MAX}) scan{STEPS_PER_CALL}",

@@ -110,34 +110,43 @@ class WireBatch:
 @dataclasses.dataclass(frozen=True)
 class CompactWireBatch:
     """Flat-edge wire form: per-graph edge runs concatenated into one
-    (2, E_tot) buffer instead of a padded (B, E_max) grid.
+    packed (E_tot,) buffer instead of a padded (B, E_max) int16 grid.
 
-    At the canonical MoCo config the mean subgraph has ~200 edges while
-    the no-truncation bucket needs E_max = 2048, so per-graph padding
-    ships ~10x dead bytes; the flat layout bounds the whole batch at
-    ``e_tot`` slots (host-side per-batch truncation by
-    ``gcc_compact_rows`` if a pathological batch overflows — counts stay
-    exact in ``n_edges``). Expansion back to the padded layout is a
-    device-side gather (:func:`expand_compact`).
+    Why: the remote-relay tunnel rate-shapes sustained host→device
+    traffic to ~10 MB/s, so under continuous training the wire BYTE rate
+    is the throughput ceiling (docs/PERF.md). The mean subgraph has ~200
+    edges while the no-truncation bucket needs E_max = 2048, so padded
+    rows ship ~10x dead bytes; this layout bounds the batch at ``e_tot``
+    edge slots (host-side truncation by ``gcc_compact_rows`` if a
+    pathological batch overflows — counts stay exact) and packs both
+    endpoints of an edge into ONE integer:
 
-    Exactly TWO array leaves — remote-relay dispatch pays ~0.5 ms per
-    transferred leaf, so the five logical fields ride in two buffers:
-      edges: (2, E_tot) int16 — row 0 = src, row 1 = dst (local ids).
+      edges: (E_tot,) — uint16 ``src | dst << 8`` when the bucket's
+        local ids fit a byte (e_max trades 2 bytes/edge), else int32
+        ``src | dst << 16``.
       meta:  (3, B) int32 — rows n_nodes, n_edges, seed_pos.
-    ``e_max`` (static) is the padded bucket the batch expands into.
+
+    Exactly two array leaves (dispatch pays ~0.5 ms per transferred
+    leaf). ``e_max`` / ``id_bits`` are static pytree metadata; expansion
+    back to the padded layout is one device-side scatter of E_tot
+    elements (:func:`expand_compact`) — element-indexed ops are the
+    expensive part on TPU, and E_tot ≈ E_max·B/4 keeps them few.
     """
 
     edges: jax.Array
     meta: jax.Array
     e_max: int = dataclasses.field(metadata=dict(static=True), default=2048)
+    id_bits: int = dataclasses.field(metadata=dict(static=True), default=8)
 
     @property
     def src(self) -> jax.Array:
-        return self.edges[0]
+        return (self.edges & ((1 << self.id_bits) - 1)).astype(jnp_int32())
 
     @property
     def dst(self) -> jax.Array:
-        return self.edges[1]
+        return (self.edges.astype(jnp_int32()) >> self.id_bits) & (
+            (1 << self.id_bits) - 1
+        )
 
     @property
     def n_nodes(self) -> jax.Array:
@@ -156,10 +165,30 @@ class CompactWireBatch:
         return self.meta.shape[1]
 
 
+def jnp_int32():
+    import jax.numpy as jnp
+
+    return jnp.int32
+
+
+def pack_edge_ids(src, dst, n_max: int):
+    """Host-side packing of compact local edge ids into one integer per
+    edge: uint16 (8+8 bits) when n_max <= 256, else int32 (16+16)."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    if n_max <= 256:
+        return (src.astype(np.uint16) & 0xFF) | (
+            (dst.astype(np.uint16) & 0xFF) << 8
+        ), 8
+    return (src.astype(np.int32) & 0xFFFF) | (
+        (dst.astype(np.int32) & 0xFFFF) << 16
+    ), 16
+
+
 jax.tree_util.register_dataclass(
     CompactWireBatch,
     data_fields=["edges", "meta"],
-    meta_fields=["e_max"],
+    meta_fields=["e_max", "id_bits"],
 )
 
 
@@ -199,23 +228,40 @@ def expand_wire(wire: WireBatch, n_max: int) -> PaddedSubgraphBatch:
 
 
 def expand_compact(wire: CompactWireBatch, n_max: int) -> PaddedSubgraphBatch:
-    """Device-side expansion of a CompactWireBatch: gather each graph's
-    edge run out of the flat buffer into the padded (B, E_max) layout
-    (gathers pipeline well on TPU, unlike scatters)."""
+    """Device-side expansion of a CompactWireBatch into the padded
+    (B, E_max) layout via ONE scatter of the E_tot packed edges.
+
+    Element-indexed ops dominate this path's cost on TPU; scattering the
+    E_tot ≈ B·E_max/4 compact elements beats gathering B·E_max slots
+    ~2.5x, and both endpoints ride in one packed integer so there is a
+    single indexed op, unpacked afterwards with shifts (VPU-cheap)."""
     import jax.numpy as jnp
 
-    b = wire.n_nodes.shape[0]
-    e_tot = wire.src.shape[0]
+    b = wire.meta.shape[1]
+    e_tot = wire.edges.shape[0]
     e_max = wire.e_max
     n_edges = wire.n_edges
-    off = jnp.concatenate(
-        [jnp.zeros(1, n_edges.dtype), jnp.cumsum(n_edges)[:-1]]
+    cum = jnp.cumsum(n_edges)
+    e_iota = jnp.arange(e_tot, dtype=jnp.int32)
+    gid = jnp.minimum(
+        jnp.searchsorted(cum, e_iota, side="right").astype(jnp.int32), b - 1
     )
-    pos = jnp.arange(e_max, dtype=jnp.int32)[None, :]
-    valid = pos < n_edges[:, None]
-    idx = jnp.minimum(off[:, None] + pos, e_tot - 1)
-    src_local = jnp.where(valid, jnp.take(wire.src, idx).astype(jnp.int32), 0)
-    dst_local = jnp.where(valid, jnp.take(wire.dst, idx).astype(jnp.int32), 0)
+    off = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
+    pos = e_iota - off[gid]
+    live = e_iota < cum[b - 1]
+    tgt = jnp.where(live, gid * e_max + pos, b * e_max)  # OOB -> dropped
+    padded = (
+        jnp.zeros(b * e_max, jnp.int32)
+        .at[tgt]
+        .set(wire.edges.astype(jnp.int32), mode="drop", unique_indices=True)
+        .reshape(b, e_max)
+    )
+    mask_bits = (1 << wire.id_bits) - 1
+    src_local = padded & mask_bits
+    dst_local = (padded >> wire.id_bits) & mask_bits
+    valid = (
+        jnp.arange(e_max, dtype=jnp.int32)[None, :] < n_edges[:, None]
+    )
     return _padded_from_locals(src_local, dst_local, valid, wire.n_nodes,
                                wire.seed_pos, n_max)
 

@@ -26,7 +26,7 @@ from typing import Iterator
 import numpy as np
 
 from gcc_tpu.config import SamplerConfig
-from gcc_tpu.graph.batch import CompactWireBatch, WireBatch
+from gcc_tpu.graph.batch import CompactWireBatch, WireBatch, pack_edge_ids
 from gcc_tpu.graph.corpus import CorpusStore, partition_graphs
 from gcc_tpu.sampling import native
 from gcc_tpu.sampling.sampler import (
@@ -55,15 +55,16 @@ class PipelineConfig:
     # Pairs sampled per native-sampler call: one big C++ call is sliced
     # into `super_batch` wire pairs, amortizing the Python call overhead.
     super_batch: int = 8
-    # Ship batches as CompactWireBatch (flat per-batch edge buffer of
-    # e_tot slots) instead of padded (B, E_max) rows: ~4x fewer wire
-    # bytes, but the device-side gather re-expansion costs ~0.8 ms/step
-    # on TPU (index ops don't map to the MXU/VPU), which outweighs the
-    # transfer savings at the canonical config — padded rows expand for
-    # free (compares + reshapes). Keep available for transfer-starved
-    # links. e_tot=None → batch_size * e_max // 4 (≈2.5x the observed
-    # p99 batch edge total; overflow truncates host-side, exact counts).
-    compact_wire: bool = False
+    # Ship batches as CompactWireBatch (flat packed edge buffer of
+    # e_tot slots) instead of padded (B, E_max) int16 rows: ~8x fewer
+    # wire bytes at the canonical config. The relay tunnel rate-shapes
+    # sustained host→device traffic (~10 MB/s measured), so wire bytes
+    # bound steady-state training throughput; the device-side scatter
+    # re-expansion (~1 ms/step) is the cheaper side of that trade.
+    # e_tot=None → batch_size * e_max // 4 (≈2.5x the observed p99
+    # batch edge total; overflow truncates host-side, exact counts kept
+    # and warned).
+    compact_wire: bool = True
     e_tot: int | None = None
 
 
@@ -223,8 +224,9 @@ class ShardSampler:
                 )
         meta = np.stack([np.asarray(n, np.int32), c_e,
                          np.zeros(len(n), np.int32)])
+        packed, id_bits = pack_edge_ids(c_src, c_dst, self.pcfg.n_max)
         return CompactWireBatch(
-            edges=np.stack([c_src, c_dst]), meta=meta, e_max=e_max,
+            edges=packed, meta=meta, e_max=e_max, id_bits=id_bits,
         )
 
 

@@ -193,9 +193,46 @@ def test_expand_compact_matches_expand_wire():
     wire = WireBatch(src=src, dst=dst, n_nodes=n, n_edges=e,
                      seed_pos=seed_pos)
     c_src, c_dst, c_e, total = native.compact_rows(src, dst, e, int(e.sum()))
-    cw = CompactWireBatch(edges=np.stack([c_src, c_dst]),
-                          meta=np.stack([n, c_e, seed_pos]), e_max=e_max)
+    from gcc_tpu.graph.batch import pack_edge_ids
+
+    packed, id_bits = pack_edge_ids(c_src, c_dst, n_max)
+    cw = CompactWireBatch(edges=packed, meta=np.stack([n, c_e, seed_pos]),
+                          e_max=e_max, id_bits=id_bits)
     p1 = expand_wire(wire, n_max)
+    p2 = expand_compact(cw, n_max)
+    for a, b_ in zip(jax.tree_util.tree_leaves(p1),
+                     jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_expand_compact_int32_packing():
+    """Buckets with local ids > 255 pack as int32 (16+16 bits) and
+    round-trip exactly."""
+    import jax
+
+    from gcc_tpu.graph.batch import (
+        CompactWireBatch, WireBatch, expand_compact, expand_wire,
+        pack_edge_ids,
+    )
+    from gcc_tpu.sampling import native
+
+    rng = np.random.default_rng(7)
+    b, e_max, n_max = 3, 64, 512
+    n = np.array([400, 512, 3], np.int32)
+    e = np.array([40, 64, 2], np.int32)
+    src = np.zeros((b, e_max), np.int16)
+    dst = np.zeros((b, e_max), np.int16)
+    for i in range(b):
+        src[i, :e[i]] = rng.integers(0, n[i], e[i])
+        dst[i, :e[i]] = rng.integers(0, n[i], e[i])
+    seed_pos = np.zeros(b, np.int32)
+    c_src, c_dst, c_e, _ = native.compact_rows(src, dst, e, int(e.sum()))
+    packed, id_bits = pack_edge_ids(c_src, c_dst, n_max)
+    assert id_bits == 16 and packed.dtype == np.int32
+    cw = CompactWireBatch(edges=packed, meta=np.stack([n, c_e, seed_pos]),
+                          e_max=e_max, id_bits=id_bits)
+    p1 = expand_wire(WireBatch(src=src, dst=dst, n_nodes=n, n_edges=e,
+                               seed_pos=seed_pos), n_max)
     p2 = expand_compact(cw, n_max)
     for a, b_ in zip(jax.tree_util.tree_leaves(p1),
                      jax.tree_util.tree_leaves(p2)):
