@@ -1,13 +1,19 @@
 from gcc_tpu.parallel.mesh import make_mesh
 from gcc_tpu.parallel.partitioned import (
     PartitionedGraph,
+    RingPartitionedGraph,
     partition_edges,
+    partition_edges_ring,
     partitioned_aggregate,
+    partitioned_aggregate_ring,
 )
 
 __all__ = [
     "make_mesh",
     "PartitionedGraph",
+    "RingPartitionedGraph",
     "partition_edges",
+    "partition_edges_ring",
     "partitioned_aggregate",
+    "partitioned_aggregate_ring",
 ]

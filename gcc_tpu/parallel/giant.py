@@ -6,7 +6,10 @@ nodes) do not fit one chip's dense adjacency. This module runs the same
 GIN encoder semantics over a graph whose edges are partitioned across
 the "part" mesh axis and whose node features are row-sharded:
 aggregation via :func:`partitioned_aggregate` (all-gather + local
-segment-sum + psum-scatter on ICI), MLPs/BN applied shard-locally, a
+segment-sum + psum-scatter on ICI) or, when given a
+:class:`RingPartitionedGraph`, the latency-hiding ring schedule of
+:func:`partitioned_aggregate_ring` (ppermute overlapped with local
+segment-sums, no reduce-scatter); MLPs/BN applied shard-locally, a
 global masked-sum readout per layer.
 
 Parameters are the standard GraphEncoder/UnsupervisedGIN params — a
@@ -19,7 +22,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gcc_tpu.parallel.partitioned import PartitionedGraph, partitioned_aggregate
+from gcc_tpu.parallel.partitioned import (
+    PartitionedGraph,
+    RingPartitionedGraph,
+    partitioned_aggregate,
+    partitioned_aggregate_ring,
+)
 
 
 def _linear(p, x):
@@ -46,12 +54,15 @@ def giant_gin_encode(
     "part"; node_mask: (N,) 1.0 for real nodes. Returns the graph-level
     embedding (output_dim,), L2-normalized like the subgraph path.
     """
+    aggregate = (partitioned_aggregate_ring
+                 if isinstance(pg, RingPartitionedGraph)
+                 else partitioned_aggregate)
     gin_p = params["UnsupervisedGIN_0"]
     gin_s = batch_stats["UnsupervisedGIN_0"]
     h = node_feat * node_mask[:, None]
     hidden_rep = [h]
     for layer in range(num_layers - 1):
-        agg = h + partitioned_aggregate(pg, h, mesh)
+        agg = h + aggregate(pg, h, mesh)
         mlp_p = gin_p[f"GINMLP_{layer}"]
         mlp_s = gin_s[f"GINMLP_{layer}"]
         z = _linear(mlp_p["Linear_0"], agg)

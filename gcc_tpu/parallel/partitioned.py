@@ -12,10 +12,21 @@ device owns a static-shape slice of the edge list. One aggregation step:
        partial accumulator (each device only sums its own edges)
     3. reduce_scatter the partials back onto the node sharding
 
-XLA overlaps the all-gather with the local gather/sum where profitable;
-a Pallas latency-hiding variant is the upgrade path. Edges are padded to
-equal per-device counts with zero-weight self-loops, keeping every shard
-shape static.
+Two schedules are provided:
+
+* :func:`partitioned_aggregate` — one all_gather, local segment-sum,
+  psum_scatter. Simple; XLA overlaps where profitable.
+* :func:`partitioned_aggregate_ring` — the latency-hiding schedule
+  (SURVEY.md §7 hard part (f)): edges live on their destination's owner,
+  bucketed by source owner; feature blocks rotate around the ring with
+  async `ppermute` while each hop's bucket is gathered and
+  segment-summed locally. Hop t+1's transfer has no data dependence on
+  hop t's compute, so the ICI permute hides behind the local work, and
+  the accumulator is already the output shard — the trailing
+  reduce-scatter disappears.
+
+Edges are padded to equal per-device (or per-bucket) counts with
+zero-weight 0→0 loops, keeping every shard shape static.
 """
 
 from __future__ import annotations
@@ -98,3 +109,122 @@ def giant_graph_embedding_oracle(pg: PartitionedGraph,
         np.add.at(out, pg.dst[dev],
                   h[pg.src[dev]] * pg.weight[dev][:, None])
     return out
+
+
+class RingPartitionedGraph(NamedTuple):
+    """Owner-bucketed edge partition for the ring (latency-hiding) path.
+
+    Edges live on the device that owns their *destination* row, bucketed
+    by the *source* row's owner, so one aggregation needs only the ring
+    rotation of feature blocks — the accumulator IS the local output
+    shard and no reduce-scatter happens at all (the plain
+    :class:`PartitionedGraph` path pays all_gather + psum_scatter).
+
+    src_local:  (D, D, E_b) int32 — src id local to its owner's block;
+                [d, o] holds the edges destined to shard d whose source
+                lives on shard o.
+    dst_local:  (D, D, E_b) int32 — dst id local to shard d.
+    weight:     (D, D, E_b) float32, 0.0 on padding.
+    num_nodes:  padded node count (multiple of D).
+    """
+
+    src_local: np.ndarray
+    dst_local: np.ndarray
+    weight: np.ndarray
+    num_nodes: int
+
+
+def partition_edges_ring(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                         num_devices: int,
+                         weight: np.ndarray | None = None
+                         ) -> RingPartitionedGraph:
+    """Bucket edges by (dst owner, src owner) with contiguous row shards.
+
+    Row o of the feature matrix belongs to device ``o // rows_per``. Each
+    (d, o) bucket is zero-padded to the global max bucket size so every
+    shard shape is static (padding edges are 0→0 with weight 0)."""
+    d_cnt = num_devices
+    n_pad = -(-num_nodes // d_cnt) * d_cnt
+    rows_per = n_pad // d_cnt
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = (np.ones(len(src), np.float32) if weight is None
+         else np.asarray(weight, np.float32))
+    d_owner = dst // rows_per
+    s_owner = src // rows_per
+    buckets = [[None] * d_cnt for _ in range(d_cnt)]
+    e_b = 1
+    for dd in range(d_cnt):
+        on_d = d_owner == dd
+        for oo in range(d_cnt):
+            sel = on_d & (s_owner == oo)
+            buckets[dd][oo] = sel
+            e_b = max(e_b, int(sel.sum()))
+    sl = np.zeros((d_cnt, d_cnt, e_b), np.int32)
+    dl = np.zeros((d_cnt, d_cnt, e_b), np.int32)
+    wb = np.zeros((d_cnt, d_cnt, e_b), np.float32)
+    for dd in range(d_cnt):
+        for oo in range(d_cnt):
+            sel = buckets[dd][oo]
+            cnt = int(sel.sum())
+            sl[dd, oo, :cnt] = (src[sel] - oo * rows_per).astype(np.int32)
+            dl[dd, oo, :cnt] = (dst[sel] - dd * rows_per).astype(np.int32)
+            wb[dd, oo, :cnt] = w[sel]
+    return RingPartitionedGraph(src_local=sl, dst_local=dl, weight=wb,
+                                num_nodes=n_pad)
+
+
+def partitioned_aggregate_ring(pg: RingPartitionedGraph, h: jax.Array,
+                               mesh: Mesh, axis: str = "part") -> jax.Array:
+    """out[v] = Σ_{(u→v)} w · h[u], ring-overlapped.
+
+    Feature blocks rotate around the ring with `ppermute`; at hop t every
+    device gathers/segment-sums the bucket of its edges sourced from the
+    block it currently holds. The permute of hop t+1's block and the
+    compute on hop t's block have no data dependence, so XLA's async
+    collective-permute hides the ICI transfer behind the local
+    segment-sum (SURVEY.md §7 hard part (f)). D-1 permutes move the same
+    bytes as the all_gather in :func:`partitioned_aggregate`, and the
+    trailing psum_scatter disappears entirely.
+
+    h: (num_nodes, F) sharded over `axis` on dim 0 — returns the same
+    sharding."""
+    d_cnt = pg.src_local.shape[0]
+    rows_per = pg.num_nodes // d_cnt
+    perm = [(i, (i + 1) % d_cnt) for i in range(d_cnt)]
+
+    def local(srcb, dstb, wb, h_shard):
+        me = jax.lax.axis_index(axis)
+        srcb, dstb, wb = srcb[0], dstb[0], wb[0]  # (D, E_b)
+
+        def consume(t, blk, acc):
+            owner = jax.lax.rem(me - t + d_cnt, d_cnt)
+            s = jax.lax.dynamic_index_in_dim(srcb, owner, keepdims=False)
+            d = jax.lax.dynamic_index_in_dim(dstb, owner, keepdims=False)
+            w = jax.lax.dynamic_index_in_dim(wb, owner, keepdims=False)
+            msgs = blk[s] * w[:, None]
+            return acc + jax.ops.segment_sum(msgs, d, num_segments=rows_per)
+
+        def hop(t, carry):
+            blk, acc = carry
+            # The permute has no data dependence on the segment-sum, so
+            # XLA's async collective-permute runs it concurrently.
+            return jax.lax.ppermute(blk, axis, perm), consume(t, blk, acc)
+
+        acc0 = jax.lax.pcast(
+            jnp.zeros((rows_per, h_shard.shape[1]), h_shard.dtype),
+            (axis,), to="varying",
+        )
+        blk, acc = jax.lax.fori_loop(0, d_cnt - 1, hop, (h_shard, acc0))
+        # Final hop consumes without a trailing (dead) permute.
+        return consume(d_cnt - 1, blk, acc)
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(jnp.asarray(pg.src_local), jnp.asarray(pg.dst_local),
+      jnp.asarray(pg.weight), h)

@@ -275,7 +275,7 @@ def run_finetune_fold(
         batch, mask = _pad_batch(subs, bsz, n_max, e_max)
         preds = np.asarray(eval_fn(
             state, jax.device_put(batch),
-            jnp.zeros(bsz, jnp.int64), jnp.asarray(mask),
+            jnp.zeros(bsz, jnp.int32), jnp.asarray(mask),
         ))
         preds_all[s : s + len(idx)] = preds[: len(idx)]
     from sklearn.metrics import f1_score
