@@ -304,15 +304,33 @@ def concat_padded(b1: PaddedSubgraphBatch,
     launch-overhead-bound on TPU."""
     import jax.numpy as jnp
 
-    b, n = b1.node_mask.shape
-    off = b * n
+    return concat_padded_many([b1, b2])
+
+
+def concat_padded_many(
+    batches: "Sequence[PaddedSubgraphBatch]",
+) -> PaddedSubgraphBatch:
+    """Stack same-bucket padded batches into one (ΣB_i, ...) batch.
+
+    One concatenate per field regardless of the number of inputs — used
+    to featurize a whole multi-step dispatch (K steps × query+key) in a
+    single batched program (see training/pretrain.py)."""
+    import jax.numpy as jnp
+
+    n = batches[0].node_mask.shape[1]
+    offs, total = [], 0
+    for b in batches:
+        offs.append(total)
+        total += b.node_mask.shape[0] * n
     return PaddedSubgraphBatch(
-        edges_src=jnp.concatenate([b1.edges_src, b2.edges_src + off]),
-        edges_dst=jnp.concatenate([b1.edges_dst, b2.edges_dst + off]),
-        edge_weight=jnp.concatenate([b1.edge_weight, b2.edge_weight]),
-        node_mask=jnp.concatenate([b1.node_mask, b2.node_mask]),
-        seed_flag=jnp.concatenate([b1.seed_flag, b2.seed_flag]),
-        n_nodes=jnp.concatenate([b1.n_nodes, b2.n_nodes]),
+        edges_src=jnp.concatenate(
+            [b.edges_src + o for b, o in zip(batches, offs)]),
+        edges_dst=jnp.concatenate(
+            [b.edges_dst + o for b, o in zip(batches, offs)]),
+        edge_weight=jnp.concatenate([b.edge_weight for b in batches]),
+        node_mask=jnp.concatenate([b.node_mask for b in batches]),
+        seed_flag=jnp.concatenate([b.seed_flag for b in batches]),
+        n_nodes=jnp.concatenate([b.n_nodes for b in batches]),
     )
 
 

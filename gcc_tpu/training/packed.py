@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcc_tpu.config import TrainConfig
-from gcc_tpu.training.pretrain import make_train_step
+from gcc_tpu.training.pretrain import (
+    featurize_stacked,
+    make_step_from_feats,
+)
 
 
 def make_state_packer(
@@ -77,17 +80,24 @@ def make_packed_multi_step(
       * unpack_fn — jitted packed->PretrainState (for checkpoints/eval).
     """
     pack, unpack = make_state_packer(template_state)
-    single = make_train_step(cfg, enc, tx, n_max=n_max).__wrapped__
+    step = make_step_from_feats(cfg, enc, tx)
+    pos_size = cfg.encoder.positional_embedding_size
+    pe_method = cfg.encoder.pe_method
 
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
+        # Featurize the whole dispatch in one batched program (launch-
+        # bound featurize ops amortized K×), then scan over the features.
+        feats = featurize_stacked(batches_q, batches_k, pos_size,
+                                  pe_method, n_max)
+        bsz = feats.node_mask.shape[1] // 2
 
-        def body(st, xs):
-            bq, bk = xs
-            st, metrics = single(st, bq, bk)
-            return st, metrics
+        def body(st, f):
+            feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], f)
+            feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], f)
+            return step(st, feats_q, feats_k)
 
-        state, metrics = jax.lax.scan(body, state, (batches_q, batches_k))
+        state, metrics = jax.lax.scan(body, state, feats)
         return pack(state), metrics
 
     return (

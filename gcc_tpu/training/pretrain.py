@@ -104,31 +104,20 @@ def create_pretrain_state(
     return state, enc, tx
 
 
-def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
-                    n_max: int | None = None):
-    """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket.
+def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
+    """Build the (unjitted) train step over pre-featurized batches.
 
-    Accepts PaddedSubgraphBatch or WireBatch inputs (the latter are
-    expanded on device, keeping the host→device transfer compact)."""
+    Featurization is split out so multi-step dispatches can hoist it out
+    of the lax.scan and run it batched over all K steps at once (the
+    featurize ops are launch-overhead-bound; batching amortizes each op
+    K×). Returns step(state, feats_q, feats_k) -> (state, metrics)."""
     moco = cfg.contrast.moco
     temperature = cfg.contrast.nce_t
     alpha = cfg.contrast.alpha
-    pos_size = cfg.encoder.positional_embedding_size
-    pe_method = cfg.encoder.pe_method
 
-    def train_step(state: PretrainState, batch_q, batch_k):
-        batch_q = _as_padded(batch_q, n_max)
-        batch_k = _as_padded(batch_k, n_max)
+    def step_from_feats(state: PretrainState, feats_q, feats_k):
         rng, new_rng = jax.random.split(state.dropout_rng)
         rng_q, rng_k = jax.random.split(rng)
-        # Featurize query+key in ONE stacked program (PE dominates step
-        # time as launch-bound small kernels; fusing halves their count).
-        bsz = batch_q.node_mask.shape[0]
-        feats_both = featurize_batch(
-            concat_padded(batch_q, batch_k), pos_size, pe_method=pe_method
-        )
-        feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], feats_both)
-        feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], feats_both)
 
         if moco:
             # Key encoder: EMA params, BN kept in train mode (batch stats,
@@ -215,6 +204,68 @@ def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
         metrics = {"loss": loss, "prob": prob, "grad_norm": grad_norm}
         return new_state, metrics
 
+    return step_from_feats
+
+
+def featurize_pair(batch_q, batch_k, pos_size: int, pe_method: str,
+                   n_max: int | None):
+    """Featurize query+key in ONE stacked program (PE dominates step
+    time as launch-bound small kernels; fusing halves their count)."""
+    batch_q = _as_padded(batch_q, n_max)
+    batch_k = _as_padded(batch_k, n_max)
+    bsz = batch_q.node_mask.shape[0]
+    feats_both = featurize_batch(
+        concat_padded(batch_q, batch_k), pos_size, pe_method=pe_method
+    )
+    feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], feats_both)
+    feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], feats_both)
+    return feats_q, feats_k
+
+
+def featurize_stacked(batches_q, batches_k, pos_size: int, pe_method: str,
+                      n_max: int | None):
+    """Featurize a whole K-step dispatch in one batched program.
+
+    batches_q/k: stacked (K, ...) wire/padded pytrees. Returns a
+    BatchFeatures pytree with leaves (K, 2·bsz, ...) — per scan step,
+    [:bsz] is the query half and [bsz:] the key half. Featurization is
+    per-graph (PE, degrees, seed flag), so batching across steps is
+    mathematically identical to per-step featurize while paying each
+    launch-bound XLA op (adjacency build, eigh finish, canonicalization)
+    once instead of K times."""
+    k_steps = jax.tree_util.tree_leaves(batches_q)[0].shape[0]
+    padded = []
+    for i in range(k_steps):
+        take = lambda x: x[i]
+        padded.append(_as_padded(jax.tree_util.tree_map(take, batches_q),
+                                 n_max))
+        padded.append(_as_padded(jax.tree_util.tree_map(take, batches_k),
+                                 n_max))
+    from gcc_tpu.graph.batch import concat_padded_many
+
+    feats = featurize_batch(concat_padded_many(padded), pos_size,
+                            pe_method=pe_method)
+    per_step = padded[0].node_mask.shape[0] * 2
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((k_steps, per_step) + x.shape[1:]), feats
+    )
+
+
+def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
+                    n_max: int | None = None):
+    """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket.
+
+    Accepts PaddedSubgraphBatch or WireBatch inputs (the latter are
+    expanded on device, keeping the host→device transfer compact)."""
+    step = make_step_from_feats(cfg, enc, tx)
+    pos_size = cfg.encoder.positional_embedding_size
+    pe_method = cfg.encoder.pe_method
+
+    def train_step(state: PretrainState, batch_q, batch_k):
+        feats_q, feats_k = featurize_pair(batch_q, batch_k, pos_size,
+                                          pe_method, n_max)
+        return step(state, feats_q, feats_k)
+
     train_step.__raw__ = True
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -229,15 +280,24 @@ def make_train_multi_step(cfg: TrainConfig, enc: GraphEncoder, tx,
     WireBatch pytrees with a leading (K, ...) dim (see
     :func:`stack_batches`); returns (state, metrics) with metrics
     leaves stacked (K,)."""
-    single = make_train_step(cfg, enc, tx, n_max=n_max).__wrapped__
+    step = make_step_from_feats(cfg, enc, tx)
+    pos_size = cfg.encoder.positional_embedding_size
+    pe_method = cfg.encoder.pe_method
 
     def multi_step(state, batches_q, batches_k):
-        def body(state, xs):
-            bq, bk = xs
-            state, metrics = single(state, bq, bk)
-            return state, metrics
+        # Hoist featurization out of the scan: one batched program over
+        # all K steps (launch-bound ops amortized K×), then scan the
+        # encoder/contrast/optimizer over the precomputed features.
+        feats = featurize_stacked(batches_q, batches_k, pos_size,
+                                  pe_method, n_max)
+        bsz = feats.node_mask.shape[1] // 2
 
-        return jax.lax.scan(body, state, (batches_q, batches_k))
+        def body(state, f):
+            feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], f)
+            feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], f)
+            return step(state, feats_q, feats_k)
+
+        return jax.lax.scan(body, state, feats)
 
     return jax.jit(multi_step, donate_argnums=(0,))
 
