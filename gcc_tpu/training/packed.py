@@ -24,10 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcc_tpu.config import TrainConfig
-from gcc_tpu.training.pretrain import (
-    featurize_stacked,
-    make_step_from_feats,
-)
+from gcc_tpu.training.pretrain import featurize_pair, make_step_from_feats
 
 
 def make_state_packer(
@@ -86,18 +83,19 @@ def make_packed_multi_step(
 
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
-        # Featurize the whole dispatch in one batched program (launch-
-        # bound featurize ops amortized K×), then scan over the features.
-        feats = featurize_stacked(batches_q, batches_k, pos_size,
-                                  pe_method, n_max)
-        bsz = feats.node_mask.shape[1] // 2
 
-        def body(st, f):
-            feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], f)
-            feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], f)
-            return step(st, feats_q, feats_k)
+        # Featurize INSIDE the scan body (q+k fused per step). Hoisting
+        # the featurization out of the scan and batching it across all K
+        # steps was measured ~3% slower on-chip (docs/PERF.md): the
+        # featurize ops are already inside one XLA program, and the 8×
+        # larger dense-adjacency working set costs more than the
+        # amortized per-op fixed cost saves.
+        def body(st, xs):
+            bq, bk = xs
+            fq, fk = featurize_pair(bq, bk, pos_size, pe_method, n_max)
+            return step(st, fq, fk)
 
-        state, metrics = jax.lax.scan(body, state, feats)
+        state, metrics = jax.lax.scan(body, state, (batches_q, batches_k))
         return pack(state), metrics
 
     return (

@@ -222,35 +222,6 @@ def featurize_pair(batch_q, batch_k, pos_size: int, pe_method: str,
     return feats_q, feats_k
 
 
-def featurize_stacked(batches_q, batches_k, pos_size: int, pe_method: str,
-                      n_max: int | None):
-    """Featurize a whole K-step dispatch in one batched program.
-
-    batches_q/k: stacked (K, ...) wire/padded pytrees. Returns a
-    BatchFeatures pytree with leaves (K, 2·bsz, ...) — per scan step,
-    [:bsz] is the query half and [bsz:] the key half. Featurization is
-    per-graph (PE, degrees, seed flag), so batching across steps is
-    mathematically identical to per-step featurize while paying each
-    launch-bound XLA op (adjacency build, eigh finish, canonicalization)
-    once instead of K times."""
-    k_steps = jax.tree_util.tree_leaves(batches_q)[0].shape[0]
-    padded = []
-    for i in range(k_steps):
-        take = lambda x: x[i]
-        padded.append(_as_padded(jax.tree_util.tree_map(take, batches_q),
-                                 n_max))
-        padded.append(_as_padded(jax.tree_util.tree_map(take, batches_k),
-                                 n_max))
-    from gcc_tpu.graph.batch import concat_padded_many
-
-    feats = featurize_batch(concat_padded_many(padded), pos_size,
-                            pe_method=pe_method)
-    per_step = padded[0].node_mask.shape[0] * 2
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((k_steps, per_step) + x.shape[1:]), feats
-    )
-
-
 def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
                     n_max: int | None = None):
     """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket.
@@ -285,19 +256,15 @@ def make_train_multi_step(cfg: TrainConfig, enc: GraphEncoder, tx,
     pe_method = cfg.encoder.pe_method
 
     def multi_step(state, batches_q, batches_k):
-        # Hoist featurization out of the scan: one batched program over
-        # all K steps (launch-bound ops amortized K×), then scan the
-        # encoder/contrast/optimizer over the precomputed features.
-        feats = featurize_stacked(batches_q, batches_k, pos_size,
-                                  pe_method, n_max)
-        bsz = feats.node_mask.shape[1] // 2
+        # Featurize inside the scan body (q+k fused per step): hoisting
+        # it out and batching across all K steps measured ~3% slower
+        # on-chip (docs/PERF.md — 8× larger dense-adjacency working set).
+        def body(state, xs):
+            bq, bk = xs
+            fq, fk = featurize_pair(bq, bk, pos_size, pe_method, n_max)
+            return step(state, fq, fk)
 
-        def body(state, f):
-            feats_q = jax.tree_util.tree_map(lambda x: x[:bsz], f)
-            feats_k = jax.tree_util.tree_map(lambda x: x[bsz:], f)
-            return step(state, feats_q, feats_k)
-
-        return jax.lax.scan(body, state, feats)
+        return jax.lax.scan(body, state, (batches_q, batches_k))
 
     return jax.jit(multi_step, donate_argnums=(0,))
 
