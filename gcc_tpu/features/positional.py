@@ -263,9 +263,37 @@ def _subspace_topk(
     )
     t = jnp.einsum("bni,bnj->bij", q, mq)
     t = 0.5 * (t + jnp.swapaxes(t, 1, 2))
-    _, u = jnp.linalg.eigh(t)  # ascending
-    u = u[:, :, ::-1]  # descending algebraic
+    if _rr_method() == "jacobi" and t.shape[-1] % 2 == 0:
+        # Batched parallel-order Jacobi (ops/jacobi.py): XLA's eigh
+        # custom call costs ~4.4 ms on a (64, 32, 32) batch on v5e —
+        # two thirds of the whole train step; the Jacobi finish is
+        # ~3.5 ms as XLA ops and column-exact vs eigh at 5 sweeps
+        # (fewer sweeps leave clustered Ritz values mis-ORDERED, which
+        # permutes PE columns per graph — oracle test in
+        # tests/test_ops_features.py pins equality at the default).
+        from gcc_tpu.ops.jacobi import jacobi_eigh
+
+        _, u = jacobi_eigh(t, sweeps=_rr_sweeps(), descending=True)
+    else:
+        _, u = jnp.linalg.eigh(t)  # ascending
+        u = u[:, :, ::-1]  # descending algebraic
     return jax.lax.dot_general(
         q, u, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+
+
+def _rr_method() -> str:
+    """Rayleigh-Ritz finisher: "jacobi" (default) or "eigh" via
+    GCC_TPU_PE_RR. The Jacobi finish matches the eigh finish column-
+    for-column at the default sweep count and is ~20% faster on TPU
+    (docs/PERF.md); eigh remains as the oracle path."""
+    import os
+
+    return os.environ.get("GCC_TPU_PE_RR", "jacobi")
+
+
+def _rr_sweeps() -> int:
+    import os
+
+    return int(os.environ.get("GCC_TPU_PE_RR_SWEEPS", "5"))

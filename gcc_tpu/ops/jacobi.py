@@ -1,0 +1,190 @@
+"""Batched Jacobi eigendecomposition for small symmetric matrices.
+
+Replaces XLA's `jnp.linalg.eigh` for the Rayleigh-Ritz finish of the
+positional-embedding subspace iteration (features/positional.py). XLA's
+eigh lowers to a QR-iteration custom call that costs ~4.4 ms for a
+(64, 32, 32) batch on TPU v5e — two thirds of the entire MoCo train
+step (docs/PERF.md). A parallel-order ("round-robin tournament")
+cyclic Jacobi sweeps all n/2 disjoint pivot pairs per round as
+elementwise half-block row and column mixes, so one round is a handful
+of VPU ops over the whole batch, and ~5 sweeps of n-1 rounds
+diagonalize a 32x32 matrix to float32 working precision (quadratic
+convergence; Golub & Van Loan §8.5, Brent-Luk ordering). For the PE
+finish T = QᵀMQ is already near-diagonal (the subspace iteration has
+converged up to clustered-eigenvalue mixing), so 2-3 sweeps suffice
+(tests/test_ops_features.py pins the quality).
+
+Layout: pivot pair j lives at rows/cols (j, j + n/2) — "half split" —
+so the two pair members are CONTIGUOUS static slices (top half, bottom
+half), mixed elementwise: A_top' = c*A_top - s*A_bot etc. After each
+round a fixed permutation re-pairs the players (chess-tournament
+rotation: player 0 stays, the rest cycle), applied to rows and columns
+with constant-index gathers. No (B, n, n) rotation matrices are ever
+materialized.
+
+This mirrors the reference's use of ARPACK for subgraph PEs
+(gcc/datasets/data_util.py:242-263) only in role; the algorithm choice
+is TPU-native (no reference analog).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def tournament_schedule(n: int) -> np.ndarray:
+    """Round-robin pairings: (n-1, n/2, 2) int array; round r pairs
+    schedule[r, j] = (p, q). Standard circle method: player 0 fixed,
+    players 1..n-1 rotate."""
+    assert n % 2 == 0
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        pairs = [
+            tuple(sorted((players[i], players[n - 1 - i])))
+            for i in range(n // 2)
+        ]
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return np.asarray(rounds, np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def half_layout_perms(n: int) -> tuple[np.ndarray, ...]:
+    """Half-split layouts per round: layout[r][j] = p_j,
+    layout[r][j + n/2] = q_j. Returns n incremental gather-index
+    vectors: entry r < n-1 takes the previous round's layout (natural
+    order for r = 0) to round r's; the last entry restores natural
+    order after round n-2."""
+    sched = tournament_schedule(n)
+    h = n // 2
+    out = []
+    prev = np.arange(n, dtype=np.int32)
+    for r in range(n - 1):
+        layout = np.empty(n, np.int32)
+        layout[:h] = sched[r, :, 0]
+        layout[h:] = sched[r, :, 1]
+        inv_prev = np.empty(n, np.int32)
+        inv_prev[prev] = np.arange(n, dtype=np.int32)
+        out.append(inv_prev[layout])
+        prev = layout
+    inv_prev = np.empty(n, np.int32)
+    inv_prev[prev] = np.arange(n, dtype=np.int32)
+    out.append(inv_prev)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _pivot_masks_np(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n/2, n) masks over the TOP/BOTTOM row blocks of the half-split
+    layout: left mask 1 at (j, j), right mask 1 at (j, j + n/2)."""
+    h = n // 2
+    left = np.zeros((h, n), np.float32)
+    right = np.zeros((h, n), np.float32)
+    left[np.arange(h), np.arange(h)] = 1.0
+    right[np.arange(h), np.arange(h) + h] = 1.0
+    return left, right
+
+
+def _rotation_cs(app, aqq, apq, eps: float):
+    """Classic two-sided Jacobi rotation coefficients (vectorized).
+
+    Zeroes A[p,q]: with tau = (aqq - app) / (2 apq),
+    t = sign(tau) / (|tau| + sqrt(1 + tau^2)), c = 1/sqrt(1+t^2),
+    s = t c. apq ~ 0 -> identity rotation.
+    """
+    import jax.numpy as jnp
+
+    small = jnp.abs(apq) <= eps * jnp.sqrt(jnp.abs(app * aqq) + eps)
+    safe_apq = jnp.where(small, 1.0, apq)
+    tau = (aqq - app) / (2.0 * safe_apq)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0, 1.0, t)  # tau=0 -> 45 degrees
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(small, 1.0, c)
+    s = jnp.where(small, 0.0, s)
+    return c, s
+
+
+def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
+                descending: bool = False, sort: bool = True):
+    """Eigendecomposition of a batch of symmetric matrices.
+
+    a: (..., n, n) symmetric, n even. Returns (w, v) like
+    jnp.linalg.eigh: w (..., n) ascending (descending=True flips),
+    v (..., n, n) with eigenvectors in columns (a ≈ v @ diag(w) @ v^T).
+
+    `sweeps` full parallel-order sweeps of n-1 rounds each; 5 sweeps
+    reach float32 working precision for n = 32 from a generic start,
+    2-3 when a is already near-diagonal (the Rayleigh-Ritz use).
+    """
+    import jax.numpy as jnp
+
+    n = a.shape[-1]
+    assert n % 2 == 0, "jacobi_eigh requires even n (pad odd sizes)"
+    h = n // 2
+    perms = half_layout_perms(n)
+    mask_l, mask_r = (jnp.asarray(m) for m in _pivot_masks_np(n))
+    vt = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+
+    for _ in range(sweeps):
+        for r in range(n - 1):
+            perm = perms[r]
+            # re-pair rows+cols into the half-split layout
+            a = a[..., perm, :][..., :, perm]
+            vt = vt[..., perm, :]
+            ae, ao = a[..., :h, :], a[..., h:, :]
+            # pivots: app = ae[.., j, j], aqq = ao[.., j, j+h],
+            # apq = ae[.., j, j+h] — masked reduces with constant
+            # one-hots (element gathers serialize on TPU).
+            app = jnp.sum(ae * mask_l, axis=-1)
+            aqq = jnp.sum(ao * mask_r, axis=-1)
+            apq = jnp.sum(ae * mask_r, axis=-1)
+            c, s = _rotation_cs(app, aqq, apq, eps)
+            # rows: A <- R~ A, R~ = [[c, -s], [s, c]] per pair
+            ce, se = c[..., :, None], s[..., :, None]
+            a = jnp.concatenate([ce * ae - se * ao, se * ae + ce * ao],
+                                axis=-2)
+            # cols: A <- A R~^T (same coefficients on the lane halves)
+            al, ar = a[..., :, :h], a[..., :, h:]
+            cc, sc = c[..., None, :], s[..., None, :]
+            a = jnp.concatenate([cc * al - sc * ar, sc * al + cc * ar],
+                                axis=-1)
+            # eigenvector accumulation: V^T <- R~ V^T
+            ve, vo = vt[..., :h, :], vt[..., h:, :]
+            vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo],
+                                 axis=-2)
+        back = perms[n - 1]
+        a = a[..., back, :][..., :, back]
+        vt = vt[..., back, :]
+
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    v = jnp.swapaxes(vt, -1, -2)
+    if not sort:
+        return w, v
+    # Gather-free sort: comparison ranks (index tie-break) build a
+    # one-hot permutation applied with one batched matmul — argsort +
+    # take_along_axis lowers to a serialized gather on TPU.
+    wk = w[..., :, None]   # w_k down rows
+    wj = w[..., None, :]   # w_j across cols
+    if descending:
+        less = (wk > wj) | ((wk == wj) & _tri(n, w.dtype))
+    else:
+        less = (wk < wj) | ((wk == wj) & _tri(n, w.dtype))
+    rank = jnp.sum(less.astype(w.dtype), axis=-2)  # (..., n)
+    sel = (rank[..., :, None] ==
+           jnp.arange(n, dtype=w.dtype)[None, :]).astype(w.dtype)
+    v = jnp.einsum("...ij,...jr->...ir", v, sel)
+    w = jnp.einsum("...j,...jr->...r", w, sel)
+    return w, v
+
+
+def _tri(n: int, dtype):
+    """Strictly-lower-triangular bool mask (k < j tie-break)."""
+    import jax.numpy as jnp
+
+    i = jnp.arange(n)
+    return (i[:, None] < i[None, :])

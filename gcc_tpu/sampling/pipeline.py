@@ -61,9 +61,15 @@ class PipelineConfig:
     # sustained host→device traffic (~10 MB/s measured), so wire bytes
     # bound steady-state training throughput; the device-side scatter
     # re-expansion (~1 ms/step) is the cheaper side of that trade.
-    # e_tot=None → batch_size * e_max // 4 (≈2.5x the observed p99
-    # batch edge total; overflow truncates host-side, exact counts kept
-    # and warned).
+    # e_tot=None → auto-sized by PretrainPipeline at startup: it samples
+    # a probe super-batch over the whole corpus and sets e_tot to 1.5x
+    # the largest observed batch edge total (rounded up to 512). Wire
+    # bytes bound steady-state throughput through the relay, so shipping
+    # a buffer sized to the corpus instead of the worst-case formula
+    # (batch_size * e_max // 4) cuts step time directly — measured 4x
+    # oversizing at the canonical bench config (docs/PERF.md). Overflow
+    # truncates host-side with exact counts kept and a warning.
+    # A bare ShardSampler (no pipeline) falls back to the formula.
     compact_wire: bool = True
     e_tot: int | None = None
 
@@ -230,6 +236,34 @@ class ShardSampler:
         )
 
 
+def _probe_e_tot(store: CorpusStore, cfg: SamplerConfig,
+                 pcfg: PipelineConfig, seed: int) -> int:
+    """Size the compact-wire buffer from the corpus's actual edge totals.
+
+    Samples one probe super-batch over the whole corpus (its own RNG
+    stream — the training stream is untouched) and returns 1.5x the
+    largest observed per-batch edge total, rounded up to 512. Decided
+    ONCE here, before workers start, so every worker ships the same
+    shape and the train step compiles exactly once. The 1.5x margin plus
+    the host-side truncation backstop (exact counts kept, warning
+    printed) covers epoch-to-epoch variation.
+
+    Multi-host runs must pass an explicit ``e_tot``: each host probes
+    its own corpus shard, and differing results would give hosts
+    mismatched global-batch shapes (parallel/multihost.py)."""
+    probe_cfg = dataclasses.replace(pcfg, compact_wire=False)
+    shard = ShardSampler(store, list(range(len(store.graph_sizes))),
+                         cfg, probe_cfg, seed + 104_729)
+    max_total = 0
+    for _ in range(max(1, probe_cfg.super_batch)):
+        q, k = shard.next_pair()
+        max_total = max(max_total, int(np.asarray(q.n_edges).sum()),
+                        int(np.asarray(k.n_edges).sum()))
+    hard_cap = pcfg.batch_size * pcfg.e_max
+    e_tot = int(np.ceil(max_total * 1.5 / 512)) * 512
+    return int(np.clip(e_tot, 1024, hard_cap))
+
+
 class _WorkerError:
     """Sentinel carrying a worker failure to the consumer."""
 
@@ -270,6 +304,10 @@ class PretrainPipeline:
                  pcfg: PipelineConfig, seed: int = 0):
         self.store = store
         self.cfg = cfg
+        if pcfg.compact_wire and pcfg.e_tot is None:
+            pcfg = dataclasses.replace(
+                pcfg, e_tot=_probe_e_tot(store, cfg, pcfg, seed)
+            )
         self.pcfg = pcfg
         self.seed = seed
         self._procs: list = []

@@ -74,7 +74,7 @@ def test_pipeline_sync_and_workers(tmp_path):
         bq, bk = next(pipe)
         from gcc_tpu.graph.batch import CompactWireBatch
 
-        expect = ((4 * 256 // 4,) if isinstance(bq, CompactWireBatch)
+        expect = ((pipe.pcfg.e_tot,) if isinstance(bq, CompactWireBatch)
                   else (4, 256))
         assert bq.batch_size == 4 and bq.src.shape == expect
         assert pipe.steps_per_epoch == 4
@@ -86,6 +86,35 @@ def test_pipeline_sync_and_workers(tmp_path):
         assert bq.batch_size == 4
         bq2, _ = next(pipe)
         assert bq2.batch_size == 4
+
+
+def test_compact_wire_e_tot_autosizing(tmp_path):
+    """e_tot=None → probed from the corpus ONCE at pipeline startup:
+    512-aligned, covering the probe's max batch edge total with margin,
+    deterministic for a fixed (corpus, config, seed), and every emitted
+    batch ships that exact shape."""
+    store = synthetic_corpus(str(tmp_path / "c"), num_graphs=2,
+                             nodes_per_graph=400, avg_degree=6)
+    scfg = SamplerConfig(rw_hops=8)
+    pcfg = PipelineConfig(batch_size=4, n_max=32, e_max=256, num_samples=16,
+                          num_workers=0)
+    with PretrainPipeline(store, scfg, pcfg, seed=3) as pipe:
+        e_tot = pipe.pcfg.e_tot
+        assert e_tot is not None and e_tot % 512 == 0
+        assert 1024 <= e_tot <= 4 * 256
+        for _ in range(3):
+            bq, bk = next(pipe)
+            assert bq.edges.shape == (e_tot,) == bk.edges.shape
+            assert int(np.asarray(bq.meta[1]).sum()) <= e_tot
+    with PretrainPipeline(store, scfg, pcfg, seed=3) as pipe2:
+        assert pipe2.pcfg.e_tot == e_tot  # deterministic probe
+    # Explicit override wins.
+    import dataclasses as dc
+
+    with PretrainPipeline(store, scfg, dc.replace(pcfg, e_tot=2048)) as pipe3:
+        assert pipe3.pcfg.e_tot == 2048
+        bq, _ = next(pipe3)
+        assert bq.edges.shape == (2048,)
 
 
 @pytest.mark.parametrize("moco", [False, True])

@@ -356,3 +356,81 @@ def test_pallas_production_config_interpret_vs_eigh(monkeypatch):
     # Tiny graph: k_b = 3 valid columns, all finite and nonzero.
     assert np.abs(approx[1, :5, :3]).sum() > 0
     assert np.abs(approx[1, :, 3:]).max() == 0  # masked columns stay zero
+
+
+def test_jacobi_eigh_matches_numpy_oracle():
+    """Parallel-order Jacobi (ops/jacobi.py) vs numpy.linalg.eigh on
+    generic symmetric batches: eigenvalues, reconstruction, and
+    orthonormality at the default 5 sweeps."""
+    from gcc_tpu.ops.jacobi import jacobi_eigh
+
+    rng = np.random.default_rng(3)
+    for n in (8, 32):
+        a = rng.standard_normal((16, n, n)).astype(np.float32)
+        a = (a + a.transpose(0, 2, 1)) / 2
+        w, v = jax.jit(lambda x: jacobi_eigh(x, sweeps=5))(jnp.asarray(a))
+        w, v = np.asarray(w), np.asarray(v)
+        wr = np.linalg.eigh(a)[0]
+        np.testing.assert_allclose(w, wr, atol=5e-4)
+        rec = np.einsum("bij,bj,bkj->bik", v, w, v)
+        np.testing.assert_allclose(rec, a, atol=5e-3)
+        orth = np.einsum("bij,bik->bjk", v, v)
+        np.testing.assert_allclose(
+            orth, np.broadcast_to(np.eye(n), orth.shape), atol=3e-5
+        )
+        # descending order option
+        wd, vd = jax.jit(
+            lambda x: jacobi_eigh(x, sweeps=5, descending=True)
+        )(jnp.asarray(a))
+        np.testing.assert_allclose(np.asarray(wd), wr[:, ::-1], atol=5e-4)
+
+
+def test_jacobi_pallas_interpret_matches_numpy():
+    """The fused Jacobi kernel (experimental, ops/jacobi_pallas.py) in
+    interpret mode vs numpy: same contract as the XLA formulation."""
+    from gcc_tpu.ops.jacobi_pallas import jacobi_eigh_tpu
+
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((8, 32, 32)).astype(np.float32)
+    a = (a + a.transpose(0, 2, 1)) / 2
+    for desc in (False, True):
+        w, v = jacobi_eigh_tpu(jnp.asarray(a), sweeps=5, descending=desc,
+                               interpret=True)
+        w, v = np.asarray(w), np.asarray(v)
+        wr = np.linalg.eigh(a)[0]
+        if desc:
+            wr = wr[:, ::-1]
+        np.testing.assert_allclose(w, wr, atol=5e-4)
+        rec = np.einsum("bij,bj,bkj->bik", v, w, v)
+        np.testing.assert_allclose(rec, a, atol=5e-3)
+
+
+def test_pe_jacobi_rr_matches_eigh_rr(monkeypatch):
+    """The production Jacobi Rayleigh-Ritz finish must reproduce the
+    exact-eigh finish column-for-column (same subspace iterate, same
+    ordering) — mis-ordered clustered Ritz values would permute PE
+    columns per graph and change what the shared encoder weights see."""
+    rng = np.random.default_rng(5)
+    n = 200
+    src = rng.integers(0, n, 1200)
+    dst = rng.integers(0, n, 1200)
+    batch = make_batch([(src, dst, n)], n_max=256, e_max=4096)
+
+    monkeypatch.setenv("GCC_TPU_PE_RR", "eigh")
+    pe_eigh = np.asarray(jax.jit(
+        lambda b: laplacian_positional_embedding(b, 32, method="subspace")
+    )(batch))
+    monkeypatch.setenv("GCC_TPU_PE_RR", "jacobi")
+    pe_jac = np.asarray(jax.jit(
+        lambda b: laplacian_positional_embedding(b, 32, method="subspace")
+    )(batch))
+
+    cos = []
+    for j in range(30):
+        a, b = pe_eigh[0, :n, j], pe_jac[0, :n, j]
+        d = np.linalg.norm(a) * np.linalg.norm(b)
+        if d > 1e-9:
+            cos.append(abs(float(np.dot(a, b))) / d)
+    cos = np.asarray(cos)
+    assert np.median(cos) > 0.999, f"median col cosine {np.median(cos)}"
+    assert (cos > 0.99).mean() > 0.8, f"cos dist {np.sort(cos)[:5]}"
