@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcc_tpu.config import TrainConfig
-from gcc_tpu.training.pretrain import featurize_pair, make_step_from_feats
+from gcc_tpu.training.pretrain import (
+    _hoist_featurize,
+    featurize_pair,
+    featurize_stacked,
+    make_step_from_feats,
+)
 
 
 def make_state_packer(
@@ -84,12 +89,24 @@ def make_packed_multi_step(
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
 
-        # Featurize INSIDE the scan body (q+k fused per step). Hoisting
-        # the featurization out of the scan and batching it across all K
-        # steps was measured ~3% slower on-chip (docs/PERF.md): the
-        # featurize ops are already inside one XLA program, and the 8×
-        # larger dense-adjacency working set costs more than the
-        # amortized per-op fixed cost saves.
+        if _hoist_featurize():
+            # One batched featurize over all K steps — the PE finish is
+            # a serial Jacobi chain whose op count doesn't grow with
+            # batch, so hoisting pays it once instead of K times. (With
+            # the old eigh finish this measured slower; see docs/PERF.md
+            # for both datapoints.)
+            feats = featurize_stacked(batches_q, batches_k, pos_size,
+                                      pe_method, n_max)
+            bsz = feats.node_mask.shape[1] // 2
+
+            def body_h(st, f):
+                fq = jax.tree_util.tree_map(lambda x: x[:bsz], f)
+                fk = jax.tree_util.tree_map(lambda x: x[bsz:], f)
+                return step(st, fq, fk)
+
+            state, metrics = jax.lax.scan(body_h, state, feats)
+            return pack(state), metrics
+
         def body(st, xs):
             bq, bk = xs
             fq, fk = featurize_pair(bq, bk, pos_size, pe_method, n_max)

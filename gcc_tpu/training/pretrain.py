@@ -222,6 +222,41 @@ def featurize_pair(batch_q, batch_k, pos_size: int, pe_method: str,
     return feats_q, feats_k
 
 
+def featurize_stacked(batches_q, batches_k, pos_size: int, pe_method: str,
+                      n_max: int | None):
+    """Featurize a whole K-step dispatch in one batched program.
+
+    batches_q/k: stacked (K, ...) wire/padded pytrees. Returns a
+    BatchFeatures pytree with leaves (K, 2·bsz, ...) — per scan step,
+    [:bsz] is the query half and [bsz:] the key half. Featurization is
+    per-graph (PE, degrees, seed flag), so batching across steps is
+    mathematically identical to per-step featurize while paying each
+    SERIAL featurize op once instead of K times. This matters because
+    the PE finish is a 155-round Jacobi chain of small ops
+    (ops/jacobi.py): per-step inside the scan the chain runs K times;
+    hoisted, it runs once on K×-wider tensors. (When the finish was
+    XLA's eigh custom call this hoist measured 3% SLOWER — the call was
+    FLOP-bound and the 8× dense-adjacency working set cost more than it
+    saved; with the op-count-bound Jacobi finish it wins ~20%,
+    docs/PERF.md.)"""
+    k_steps = jax.tree_util.tree_leaves(batches_q)[0].shape[0]
+    padded = []
+    for i in range(k_steps):
+        take = lambda x: x[i]
+        padded.append(_as_padded(jax.tree_util.tree_map(take, batches_q),
+                                 n_max))
+        padded.append(_as_padded(jax.tree_util.tree_map(take, batches_k),
+                                 n_max))
+    from gcc_tpu.graph.batch import concat_padded_many
+
+    feats = featurize_batch(concat_padded_many(padded), pos_size,
+                            pe_method=pe_method)
+    per_step = padded[0].node_mask.shape[0] * 2
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((k_steps, per_step) + x.shape[1:]), feats
+    )
+
+
 def make_train_step(cfg: TrainConfig, enc: GraphEncoder, tx,
                     n_max: int | None = None):
     """Build the jitted pretrain step. Recompiles per (N_max, E_max) bucket.
@@ -256,9 +291,22 @@ def make_train_multi_step(cfg: TrainConfig, enc: GraphEncoder, tx,
     pe_method = cfg.encoder.pe_method
 
     def multi_step(state, batches_q, batches_k):
-        # Featurize inside the scan body (q+k fused per step): hoisting
-        # it out and batching across all K steps measured ~3% slower
-        # on-chip (docs/PERF.md — 8× larger dense-adjacency working set).
+        if _hoist_featurize():
+            # One batched featurize program over all K steps, then scan
+            # the encoder/optimizer over the precomputed features: the
+            # PE finish is a serial 155-round Jacobi chain, paid once
+            # instead of K times (docs/PERF.md).
+            feats = featurize_stacked(batches_q, batches_k, pos_size,
+                                      pe_method, n_max)
+            bsz = feats.node_mask.shape[1] // 2
+
+            def body_h(state, f):
+                fq = jax.tree_util.tree_map(lambda x: x[:bsz], f)
+                fk = jax.tree_util.tree_map(lambda x: x[bsz:], f)
+                return step(state, fq, fk)
+
+            return jax.lax.scan(body_h, state, feats)
+
         def body(state, xs):
             bq, bk = xs
             fq, fk = featurize_pair(bq, bk, pos_size, pe_method, n_max)
@@ -267,6 +315,15 @@ def make_train_multi_step(cfg: TrainConfig, enc: GraphEncoder, tx,
         return jax.lax.scan(body, state, (batches_q, batches_k))
 
     return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def _hoist_featurize() -> bool:
+    """Hoist featurization out of the K-step scan (default on): wins
+    ~20% with the op-count-bound Jacobi PE finish; set
+    GCC_TPU_HOIST_FEATURIZE=0 for the in-scan form (docs/PERF.md)."""
+    import os
+
+    return os.environ.get("GCC_TPU_HOIST_FEATURIZE", "1") == "1"
 
 
 def stack_batches(batches):
