@@ -253,3 +253,46 @@ def test_packed_multi_step_matches_unpacked():
     for a, b in zip(jax.tree_util.tree_leaves(state1),
                     jax.tree_util.tree_leaves(state2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_featurize_stacked_matches_per_step():
+    """The hoisted K-step featurization must equal per-step featurize
+    (it is the same per-graph math, batched across scan steps)."""
+    from gcc_tpu.training import stack_batches
+    from gcc_tpu.training.pretrain import featurize_pair, featurize_stacked
+
+    rng = np.random.default_rng(1)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 300, 1500), rng.integers(0, 300, 1500),
+        num_nodes=300, symmetrize=True,
+    )
+    scfg = SamplerConfig(rw_hops=12)
+    pairs = []
+    for i in range(3):
+        qs, ks = sample_contrastive_pairs(
+            g, rng.integers(0, 300, 8), scfg, rng_seed=10 + i
+        )
+        pairs.append((batch_subgraphs(qs, n_max=32, e_max=256),
+                      batch_subgraphs(ks, n_max=32, e_max=256)))
+    sq = stack_batches([p[0] for p in pairs])
+    sk = stack_batches([p[1] for p in pairs])
+
+    stacked = jax.jit(
+        lambda a, b: featurize_stacked(a, b, 8, "eigh", None)
+    )(sq, sk)
+
+    for i, (bq, bk) in enumerate(pairs):
+        fq, fk = jax.jit(
+            lambda a, b: featurize_pair(a, b, 8, "eigh", None)
+        )(bq, bk)
+        bsz = bq.node_mask.shape[0]
+        step = jax.tree_util.tree_map(lambda x: x[i], stacked)
+        for name, ours, ref in [
+            ("q", jax.tree_util.tree_map(lambda x: x[:bsz], step), fq),
+            ("k", jax.tree_util.tree_map(lambda x: x[bsz:], step), fk),
+        ]:
+            for la, lb in zip(jax.tree_util.tree_leaves(ours),
+                              jax.tree_util.tree_leaves(ref)):
+                np.testing.assert_allclose(
+                    np.asarray(la), np.asarray(lb), atol=1e-5,
+                    err_msg=f"step {i} view {name}")
