@@ -41,9 +41,26 @@ def moco_logits(
 
 def enqueue(queue: MoCoQueue, k: jax.Array) -> MoCoQueue:
     """Ring-buffer write of the batch's keys at [index, index+B) mod K
-    (memory_moco.py:55-61)."""
-    bsz = k.shape[0]
-    ids = (queue.index + jnp.arange(bsz)) % queue.memory.shape[0]
-    memory = queue.memory.at[ids].set(jax.lax.stop_gradient(k))
-    index = ((queue.index + bsz) % queue.memory.shape[0]).astype(jnp.int32)
+    (memory_moco.py:55-61).
+
+    Gather-free: `.at[ids].set` lowers to an XLA scatter that
+    serializes row-by-row on TPU (~1.4 ms/step with K = 16384 — as
+    expensive as the entire rest of the step, docs/PERF.md). Instead
+    the B rows are placed with a one-hot matmul (MXU, exact f32) and
+    merged with an arithmetic mask — identical semantics incl. the
+    modular wraparound, bit-exact for duplicate-free ids (ids are
+    consecutive mod K, so duplicates need B > K, which init forbids)."""
+    bsz, dim = k.shape
+    kk = queue.memory.shape[0]
+    ids = (queue.index + jnp.arange(bsz, dtype=jnp.int32)) % kk
+    rows = jnp.arange(kk, dtype=jnp.int32)
+    onehot = (ids[:, None] == rows[None, :]).astype(jnp.float32)  # (B, K)
+    placed = jax.lax.dot_general(
+        onehot, jax.lax.stop_gradient(k),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, dim): row ids[b] holds k[b]
+    written = jnp.sum(onehot, axis=0)[:, None]  # (K, 1) 0/1 mask
+    memory = queue.memory * (1.0 - written) + placed
+    index = ((queue.index + bsz) % kk).astype(jnp.int32)
     return MoCoQueue(memory=memory, index=index)

@@ -243,8 +243,14 @@ def expand_compact(wire: CompactWireBatch, n_max: int) -> PaddedSubgraphBatch:
     n_edges = wire.n_edges
     cum = jnp.cumsum(n_edges)
     e_iota = jnp.arange(e_tot, dtype=jnp.int32)
+    # gid = searchsorted(cum, e_iota, "right"), vectorized: jnp's
+    # searchsorted lowers to a while loop on TPU (~0.14 ms each; 16 of
+    # them per 8-step dispatch was 18% of the step, docs/PERF.md). The
+    # (E_tot, B) comparison grid is one fused reduce instead.
     gid = jnp.minimum(
-        jnp.searchsorted(cum, e_iota, side="right").astype(jnp.int32), b - 1
+        jnp.sum((e_iota[:, None] >= cum[None, :]).astype(jnp.int32),
+                axis=1),
+        b - 1,
     )
     off = jnp.concatenate([jnp.zeros(1, cum.dtype), cum[:-1]])
     pos = e_iota - off[gid]

@@ -116,4 +116,18 @@ class DegreeEmbedding(nn.Module):
             jnp.float32,
         )
         idx = jnp.clip(degrees, 0, self.max_degree)
-        return jnp.take(table, idx, axis=0)
+        # One-hot matmul instead of jnp.take: the gather (and its
+        # scatter-add VJP into the (max_degree+1, F) table) serializes
+        # on TPU — together ~0.08 ms/step at the canonical config
+        # (docs/PERF.md trace: layers.py gather + scatter-add fusions).
+        # The one-hot contraction runs on the MXU in both directions;
+        # exact (0/1 in f32, f32 accumulation).
+        flat = idx.reshape(-1)
+        onehot = (
+            flat[:, None] == jnp.arange(table.shape[0], dtype=flat.dtype)
+        ).astype(table.dtype)
+        out = jax.lax.dot_general(
+            onehot, table, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.reshape(idx.shape + (self.features,))

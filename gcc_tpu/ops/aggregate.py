@@ -60,15 +60,19 @@ def build_dense_adjacency(batch: PaddedSubgraphBatch) -> jax.Array:
     dst_local = (batch.edges_dst % n).reshape(b, e)
     w = batch.edge_weight.reshape(b, e)
     iota = jnp.arange(n, dtype=jnp.int32)
-    # Padding edges carry w=0, so their one-hot rows vanish.
-    oh_dst = (dst_local[:, :, None] == iota).astype(jnp.bfloat16)
-    oh_dst = oh_dst * w[:, :, None].astype(jnp.bfloat16)
-    oh_src = (src_local[:, :, None] == iota).astype(jnp.bfloat16)
-    return jax.lax.dot_general(
+    # Padding edges carry w=0, so their one-hot rows vanish. int8
+    # operands run the MXU at 2x the bf16 rate; exact for the 0/1
+    # weights every in-repo producer emits (fractional edge weights
+    # would truncate — such graphs must use the segment path).
+    oh_dst = (dst_local[:, :, None] == iota).astype(jnp.int8)
+    oh_dst = oh_dst * w[:, :, None].astype(jnp.int8)
+    oh_src = (src_local[:, :, None] == iota).astype(jnp.int8)
+    counts = jax.lax.dot_general(
         oh_dst, oh_src,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
+    return counts.astype(jnp.float32)
 
 
 def build_dense_adjacency_scatter(batch: PaddedSubgraphBatch) -> jax.Array:
