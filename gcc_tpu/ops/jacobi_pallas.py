@@ -92,7 +92,7 @@ def _perm_mats(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _jacobi_kernel(t_ref, maskl_ref, maskr_ref, first_ref, cycle_ref,
                    last_ref, w_ref, v_ref, a_scr, v_scr, *, n: int,
-                   sweeps: int, eps: float, descending: bool):
+                   sweeps: int, eps: float):
     b = t_ref.shape[0]
     h = n // 2
     mask_l, mask_r = maskl_ref[...], maskr_ref[...]
@@ -152,36 +152,18 @@ def _jacobi_kernel(t_ref, maskl_ref, maskr_ref, first_ref, cycle_ref,
 
     total = sweeps * (n - 1)
     # rounds 0..total-2 rotate then re-pair; the final round rotates
-    # then restores natural order with `last`.
+    # then restores natural order with `last`. The eigenvalue sort
+    # lives OUTSIDE the kernel (features/positional.py side): its
+    # (B, n, n) comparison grids and one-hot dots inflate Mosaic's
+    # scoped-vmem stack past the 16 MB limit at useful batch sizes,
+    # and as plain XLA it costs ~30 us.
     jax.lax.fori_loop(0, total - 1, round_body, 0)
     rotate(total - 1, 0)
     last = last_ref[...]
     a = permute_sym(a_scr[...], last)
     v = colmm(v_scr[...], last)
-
-    w = jnp.sum(a * jnp.eye(n, dtype=jnp.float32)[None], axis=-1)
-    # Gather-free sort: rank_j = #{k: w_k < w_j} (index tie-break),
-    # S[j, r] = 1 iff rank_j == r, V_sorted = V @ S.
-    wk = w[:, :, None]
-    wj = w[:, None, :]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 1)
-    jdx = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
-    lt = (wk < wj) | ((wk == wj) & (idx < jdx))
-    rank = jnp.sum(lt.astype(jnp.float32), axis=1)
-    if descending:
-        rank = (n - 1) - rank
-    riota = jax.lax.broadcasted_iota(jnp.int32, (b, n, n), 2)
-    sel = (rank[:, :, None] == riota.astype(jnp.float32)).astype(
-        jnp.float32
-    )
-    v_ref[...] = jax.lax.dot_general(
-        v, sel, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=hi,
-    )
-    w_ref[...] = jax.lax.dot_general(
-        w[:, None, :], sel, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=hi,
-    )[:, 0, :]
+    w_ref[...] = jnp.sum(a * jnp.eye(n, dtype=jnp.float32)[None], axis=-1)
+    v_ref[...] = v
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "descending",
@@ -198,10 +180,15 @@ def jacobi_eigh_tpu(t: jax.Array, sweeps: int = 5,
     b, n, n2 = t.shape
     assert n == n2 and n % 2 == 0
     kernel = functools.partial(_jacobi_kernel, n=n, sweeps=sweeps,
-                               eps=1e-12, descending=descending)
+                               eps=1e-12)
     rounds = sweeps * (n - 1)
     mask_l, mask_r = _pivot_masks_np(n)
     first, cycle, last = _perm_mats(n)
+    # Batch blocks per grid step: Mosaic stack-allocates live loop-body
+    # temporaries (~25 values of (bpb, n, n), lane-padded 4x at n = 32).
+    bpb = max(1, min(b, 64))
+    while b % bpb:
+        bpb -= 1
     operands = (
         t,
         jnp.asarray(mask_l),
@@ -210,19 +197,60 @@ def jacobi_eigh_tpu(t: jax.Array, sweeps: int = 5,
         jnp.asarray(cycle),
         jnp.asarray(last),
     )
+    h = n // 2
     w, v = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands),
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        grid=(b // bpb,),
+        in_specs=[
+            pl.BlockSpec((bpb, n, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n - 1, n, n), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((bpb, n), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bpb, n, n), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((b, n), jnp.float32),
                    jax.ShapeDtypeStruct((b, n, n), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((b, n, n), jnp.float32),
-                        pltpu.VMEM((b, n, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bpb, n, n), jnp.float32),
+                        pltpu.VMEM((bpb, n, n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=b * rounds * (6 * n * n * n + 14 * n * n),
             bytes_accessed=b * n * n * 8, transcendentals=b * rounds * n,
         ),
         interpret=interpret,
     )(*operands)
+    # Gather-free eigenvalue sort OUTSIDE the kernel (cheap as XLA;
+    # fused into the kernel it blows the scoped-vmem stack): comparison
+    # ranks with index tie-break -> one-hot permutation via batched dots.
+    wk = w[:, :, None]
+    wj = w[:, None, :]
+    i_idx = jnp.arange(n)
+    tie = i_idx[:, None] < i_idx[None, :]
+    lt = (wk < wj) | ((wk == wj) & tie)
+    rank = jnp.sum(lt.astype(jnp.float32), axis=1)
+    if descending:
+        rank = (n - 1) - rank
+    sel = (rank[:, :, None] ==
+           jnp.arange(n, dtype=jnp.float32)[None, None, :]).astype(
+               jnp.float32)
+    v = jax.lax.dot_general(
+        v, sel, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    w = jax.lax.dot_general(
+        w[:, None, :], sel, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :]
     return w, v
