@@ -48,7 +48,7 @@ WARMUP_STEPS = 16
 MEASURE_STEPS = 3840
 # lax.scan-unrolled steps per device dispatch; the training state crosses
 # the dispatch boundary packed into 3 flat arrays (training/packed.py).
-STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "8"))
+STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "16"))
 
 
 def main():
@@ -81,7 +81,7 @@ def main():
     # buys on the 2-core relay host (measured 2x slower at 2 threads).
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
-        num_samples=10_000, num_workers=1, prefetch=16,
+        num_samples=10_000, num_workers=1, prefetch=2 * STEPS_PER_CALL,
         threads_per_worker=1, mode="thread",
     )
     num_conv_layers = cfg.encoder.num_layers - 1

@@ -43,7 +43,9 @@ class PipelineConfig:
     num_samples: int = 2000   # per worker per epoch (reference --num-samples)
     num_workers: int = 1      # 0 = synchronous in-process
     num_copies: int = 1
-    prefetch: int = 4
+    # Deep enough that a 16-step dispatch (training/loop.py) draining
+    # 16 pairs at once never starves; compact batches are ~13 KB each.
+    prefetch: int = 32
     threads_per_worker: int = 1
     degree_power: float = 0.75
     # "thread": background prefetch threads (default — the native sampler
