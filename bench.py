@@ -82,7 +82,8 @@ def main():
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
         num_samples=10_000, num_workers=1, prefetch=2 * STEPS_PER_CALL,
-        threads_per_worker=1, mode="thread",
+        threads_per_worker=int(os.environ.get("GCC_TPU_BENCH_THREADS", "1")),
+        mode="thread",
     )
     num_conv_layers = cfg.encoder.num_layers - 1
 

@@ -27,6 +27,7 @@
 //  * Induced edges keep multi-edges (multiplicity matters for GIN sums).
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -83,9 +84,12 @@ struct Csr {
 };
 
 // Visited-set accumulator with O(1) dedup via a per-thread epoch-stamped map.
+// (An L1-resident open-addressing hash was tried and measured SLOWER for
+// extraction — 0.74 vs 0.60 ms/batch-pair: the stamp probes of one subgraph
+// concentrate on ~2k distinct nodes and stay cache-resident, while the hash
+// pays its compute on every probe. docs/PERF.md host section.)
 struct VisitSet {
   std::vector<int64_t> stamp;   // stamp[u] == epoch  <=>  u in set
-  std::vector<int32_t> local;   // stamp value -> local id? no: parallel map
   std::vector<int32_t> nodes;   // insertion order (global ids)
   std::vector<int32_t> local_id;  // local_id[u] valid iff stamp[u] == epoch
   int64_t epoch = 0;
@@ -196,9 +200,36 @@ int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
   return count;
 }
 
+// Cumulative phase times for gcc_sample_wire_pairs (ns) — cheap always-on
+// instrumentation (two steady_clock reads per phase per subgraph, ~40 ns
+// against phases of tens of microseconds). Read via gcc_sampler_stats.
+std::atomic<int64_t> g_walk_ns{0}, g_extract_ns{0}, g_pack_ns{0},
+    g_subgraphs{0};
+
+inline int64_t now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
 }  // namespace
 
 extern "C" {
+
+// Fills out[4] = {walk_ns, extract_ns, pack_ns, subgraphs} accumulated
+// since load (or the last reset). reset != 0 zeroes the counters.
+void gcc_sampler_stats(int64_t* out, int32_t reset) {
+  out[0] = g_walk_ns.load();
+  out[1] = g_extract_ns.load();
+  out[2] = g_pack_ns.load();
+  out[3] = g_subgraphs.load();
+  if (reset) {
+    g_walk_ns = 0;
+    g_extract_ns = 0;
+    g_pack_ns = 0;
+    g_subgraphs = 0;
+  }
+}
 
 // Fused per-seed pipeline: trace -> unique nodes (seed first) -> induced
 // relabeled edges. All outputs are padded to (num_seeds, cap) row-major.
@@ -316,13 +347,16 @@ void gcc_sample_wire_pairs(
       set.reset();
       const int64_t seed = is_k ? seeds_k[i] : seeds_q[i];
       const int64_t budget = is_k ? budgets_k[i] : budgets_q[i];
+      const int64_t t0 = now_ns();
       if (aug == 0) {
         rwr_visit(g, seed, restart_prob, budget, node_cap, rng, set);
       } else {
         ns_visit(g, seed, expand, hops, node_cap, rng, set);
       }
       const int64_t n = (int64_t)set.nodes.size();
+      const int64_t t1 = now_ns();
       const int64_t e_full = induced_edges(g, set, es.data(), ed.data(), e_cap);
+      const int64_t t2 = now_ns();
       const int64_t e = e_full < e_cap ? e_full : e_cap;
       int16_t* osrc = (is_k ? k_src : q_src) + i * e_cap;
       int16_t* odst = (is_k ? k_dst : q_dst) + i * e_cap;
@@ -332,6 +366,11 @@ void gcc_sample_wire_pairs(
       }
       (is_k ? k_n : q_n)[i] = (int32_t)n;
       (is_k ? k_e : q_e)[i] = (int32_t)e;
+      const int64_t t3 = now_ns();
+      g_walk_ns.fetch_add(t1 - t0, std::memory_order_relaxed);
+      g_extract_ns.fetch_add(t2 - t1, std::memory_order_relaxed);
+      g_pack_ns.fetch_add(t3 - t2, std::memory_order_relaxed);
+      g_subgraphs.fetch_add(1, std::memory_order_relaxed);
     }
   };
 

@@ -66,6 +66,7 @@ def _load():
         ctypes.c_int64,                      # cap_total
         i16p, i16p, i32p, i64p,              # out_src, out_dst, e_out, total
     ]
+    lib.gcc_sampler_stats.argtypes = [i64p, ctypes.c_int32]
     lib.gcc_sample_wire_pairs.argtypes = [
         i64p, i32p, ctypes.c_int64,          # csr
         i64p, i64p, ctypes.c_int64,          # seeds_q, seeds_k, num
@@ -373,3 +374,16 @@ def _sample_subgraphs_numpy(
                 cnt += 1
         e[i] = min(cnt, e_cap)
         e_full[i] = cnt
+
+
+def sampler_stats(reset: bool = False) -> dict:
+    """Cumulative wire-pair sampler phase times (ns) since load/reset:
+    {walk_ns, extract_ns, pack_ns, subgraphs}. Cheap always-on C++
+    counters — the host-side analog of the device trace."""
+    lib = _load()
+    if lib is None:
+        return {}
+    out = np.zeros(4, np.int64)
+    lib.gcc_sampler_stats(out, 1 if reset else 0)
+    return {"walk_ns": int(out[0]), "extract_ns": int(out[1]),
+            "pack_ns": int(out[2]), "subgraphs": int(out[3])}
