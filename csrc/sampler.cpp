@@ -430,3 +430,52 @@ void gcc_weighted_sample(const double* cdf, int64_t n, int64_t count,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused compaction + wire packing for a whole super-batch (the host side
+// of CompactWireBatch, gcc_tpu/graph/batch.py): for each of `n_batches`
+// consecutive groups of `step` rows, concatenate each row's first e[i]
+// edges into a flat e_tot-slot buffer with BOTH endpoints packed into one
+// uint16 (src | dst << 8 — requires local ids < 256, i.e. n_max <= 256),
+// and fill the (3, step) meta block [n_nodes, kept_e, seed_pos=0].
+// Overflowing batches truncate trailing rows; dropped edge totals are
+// accumulated into out_dropped[batch] so the caller can warn. Replaces a
+// python loop of gcc_compact_rows + numpy shift/or per batch (~0.2 ms per
+// batch-pair of pure python/numpy dispatch).
+void gcc_compact_pack16(
+    const int16_t* src, const int16_t* dst, const int32_t* n,
+    const int32_t* e, int64_t n_batches, int64_t step, int64_t e_cap,
+    int64_t e_tot, uint16_t* out_edges, int32_t* out_meta,
+    int64_t* out_dropped) {
+  for (int64_t b = 0; b < n_batches; ++b) {
+    uint16_t* oe = out_edges + b * e_tot;
+    int32_t* meta_n = out_meta + b * 3 * step;
+    int32_t* meta_e = meta_n + step;
+    int32_t* meta_s = meta_e + step;
+    int64_t off = 0, dropped = 0;
+    for (int64_t r = 0; r < step; ++r) {
+      const int64_t row = b * step + r;
+      int64_t take = (int64_t)e[row];
+      const int64_t want = take;
+      if (take > e_tot - off) take = e_tot - off;
+      const int16_t* rs = src + row * e_cap;
+      const int16_t* rd = dst + row * e_cap;
+      for (int64_t j = 0; j < take; ++j) {
+        oe[off + j] =
+            (uint16_t)((uint16_t)(rs[j] & 0xFF) | ((uint16_t)(rd[j] & 0xFF) << 8));
+      }
+      off += take;
+      dropped += want - take;
+      meta_n[r] = n[row];
+      meta_e[r] = (int32_t)take;
+      meta_s[r] = 0;
+    }
+    // zero the unused tail so reused device buffers never see stale edges
+    // (the device expansion masks by counts, but keep the wire clean)
+    std::memset(oe + off, 0, (size_t)(e_tot - off) * sizeof(uint16_t));
+    out_dropped[b] = dropped;
+  }
+}
+
+}  // extern "C"

@@ -67,6 +67,13 @@ def _load():
         i16p, i16p, i32p, i64p,              # out_src, out_dst, e_out, total
     ]
     lib.gcc_sampler_stats.argtypes = [i64p, ctypes.c_int32]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.gcc_compact_pack16.argtypes = [
+        i16p, i16p, i32p, i32p,              # src, dst, n, e
+        ctypes.c_int64, ctypes.c_int64,      # n_batches, step
+        ctypes.c_int64, ctypes.c_int64,      # e_cap, e_tot
+        u16p, i32p, i64p,                    # out_edges, out_meta, dropped
+    ]
     lib.gcc_sample_wire_pairs.argtypes = [
         i64p, i32p, ctypes.c_int64,          # csr
         i64p, i64p, ctypes.c_int64,          # seeds_q, seeds_k, num
@@ -387,3 +394,24 @@ def sampler_stats(reset: bool = False) -> dict:
     lib.gcc_sampler_stats(out, 1 if reset else 0)
     return {"walk_ns": int(out[0]), "extract_ns": int(out[1]),
             "pack_ns": int(out[2]), "subgraphs": int(out[3])}
+
+
+def compact_pack16(src, dst, n, e, n_batches: int, step: int,
+                   e_tot: int):
+    """Fused super-batch compaction + uint16 wire packing (n_max <= 256).
+
+    src/dst: (n_batches*step, e_cap) int16; n/e: (n_batches*step,) int32.
+    Returns (edges (n_batches, e_tot) uint16, meta (n_batches, 3, step)
+    int32, dropped (n_batches,) int64).
+    """
+    lib = _load()
+    e_cap = src.shape[1]
+    edges = np.empty((n_batches, e_tot), np.uint16)
+    meta = np.empty((n_batches, 3, step), np.int32)
+    dropped = np.empty(n_batches, np.int64)
+    lib.gcc_compact_pack16(
+        np.ascontiguousarray(src), np.ascontiguousarray(dst),
+        np.ascontiguousarray(n, np.int32), np.ascontiguousarray(e, np.int32),
+        n_batches, step, e_cap, e_tot, edges, meta, dropped,
+    )
+    return edges, meta, dropped
