@@ -188,3 +188,35 @@ def test_native_matches_numpy_statistically():
     a = sample_subgraphs(g, seeds, budgets, rng_seed=0, force_numpy=False)
     b = sample_subgraphs(g, seeds, budgets, rng_seed=0, force_numpy=True)
     assert abs(a.n.mean() - b.n.mean()) / b.n.mean() < 0.15
+
+
+def test_compact_pack16_matches_python_path():
+    """The fused native super-batch pack must be bit-identical to
+    compact_rows + pack_edge_ids per batch (including truncation
+    accounting and zeroed tails)."""
+    from gcc_tpu.graph.batch import pack_edge_ids
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("native sampler unavailable")
+    rng = np.random.default_rng(3)
+    n_batches, step, e_cap, e_tot = 4, 8, 64, 96
+    rows = n_batches * step
+    src = rng.integers(0, 256, (rows, e_cap)).astype(np.int16)
+    dst = rng.integers(0, 256, (rows, e_cap)).astype(np.int16)
+    n = rng.integers(1, 256, rows).astype(np.int32)
+    e = rng.integers(0, e_cap, rows).astype(np.int32)
+    e[5] = e_cap  # force overflow in batch 0
+    edges, meta, dropped = native.compact_pack16(
+        src, dst, n, e, n_batches, step, e_tot)
+    for b in range(n_batches):
+        lo, hi = b * step, (b + 1) * step
+        c_src, c_dst, c_e, total = native.compact_rows(
+            src[lo:hi], dst[lo:hi], e[lo:hi], e_tot)
+        ref, bits = pack_edge_ids(c_src, c_dst, 256)
+        assert bits == 8
+        np.testing.assert_array_equal(edges[b][:total], ref[:total])
+        assert (edges[b][total:] == 0).all()
+        np.testing.assert_array_equal(meta[b][0], n[lo:hi])
+        np.testing.assert_array_equal(meta[b][1], c_e)
+        assert dropped[b] == int(e[lo:hi].astype(np.int64).sum()) - total
