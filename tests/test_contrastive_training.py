@@ -296,3 +296,51 @@ def test_featurize_stacked_matches_per_step():
                 np.testing.assert_allclose(
                     np.asarray(la), np.asarray(lb), atol=1e-5,
                     err_msg=f"step {i} view {name}")
+
+
+def test_hoist_featurize_toggle_equivalence(monkeypatch):
+    """The in-scan featurize fallback (GCC_TPU_HOIST_FEATURIZE=0) must
+    train to the same state as the default hoisted form (identical
+    per-graph math, different program structure)."""
+    from gcc_tpu.training import make_train_multi_step
+    from gcc_tpu.training.pretrain import stack_batches
+
+    cfg = TrainConfig(
+        batch_size=8,
+        sampler=SamplerConfig(rw_hops=8),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=64),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    rng = np.random.default_rng(2)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 200, 1000), rng.integers(0, 200, 1000),
+        num_nodes=200, symmetrize=True,
+    )
+    scfg = cfg.sampler
+    pairs = []
+    for i in range(2):
+        qs, ks = sample_contrastive_pairs(
+            g, rng.integers(0, 200, cfg.batch_size), scfg, rng_seed=20 + i
+        )
+        pairs.append((batch_subgraphs(qs, n_max=32, e_max=256),
+                      batch_subgraphs(ks, n_max=32, e_max=256)))
+    sq = stack_batches([p[0] for p in pairs])
+    sk = stack_batches([p[1] for p in pairs])
+
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("GCC_TPU_HOIST_FEATURIZE", flag)
+        state, enc, tx = create_pretrain_state(
+            jax.random.PRNGKey(0), cfg, pairs[0][0], total_steps=100,
+            n_max=32,
+        )
+        fn = make_train_multi_step(cfg, enc, tx, n_max=32)
+        state, metrics = fn(state, sq, sk)
+        results[flag] = (state, np.asarray(metrics["loss"]))
+    np.testing.assert_allclose(results["1"][1], results["0"][1], atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(results["1"][0]),
+                    jax.tree_util.tree_leaves(results["0"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
