@@ -65,14 +65,19 @@ def build_dense_adjacency(batch: PaddedSubgraphBatch) -> jax.Array:
     # weights every in-repo producer emits (fractional edge weights
     # would truncate — such graphs must use the segment path).
     oh_dst = (dst_local[:, :, None] == iota).astype(jnp.int8)
-    oh_dst = oh_dst * w[:, :, None].astype(jnp.int8)
     oh_src = (src_local[:, :, None] == iota).astype(jnp.int8)
-    counts = jax.lax.dot_general(
-        oh_dst, oh_src,
+    oh_src = oh_src * w[:, :, None].astype(jnp.int8)
+    # Contract (src, dst) and transpose back: identical values (A =
+    # (Aᵀ)ᵀ, no symmetry assumed), but XLA then lays the dot output out
+    # so downstream consumers read it without the physical (B, N, N)
+    # relayout copy the (dst, src) order incurred (~3% of featurize,
+    # docs/PERF.md trace).
+    counts_t = jax.lax.dot_general(
+        oh_src, oh_dst,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )
-    return counts.astype(jnp.float32)
+    return jnp.swapaxes(counts_t, 1, 2).astype(jnp.float32)
 
 
 def build_dense_adjacency_scatter(batch: PaddedSubgraphBatch) -> jax.Array:
