@@ -63,7 +63,7 @@ def main():
     from gcc_tpu.graph.corpus import CorpusStore, synthetic_corpus
     from gcc_tpu.sampling.pipeline import PipelineConfig, PretrainPipeline
     from gcc_tpu.training import (
-        create_pretrain_state, make_packed_multi_step, stack_batches,
+        create_pretrain_state, make_packed_multi_step,
     )
 
     corpus_dir = os.environ.get("GCC_TPU_BENCH_CORPUS", "/tmp/gcc_tpu_bench_corpus")
@@ -81,9 +81,12 @@ def main():
     # buys on the 2-core relay host (measured 2x slower at 2 threads).
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
-        num_samples=10_000, num_workers=1, prefetch=2 * STEPS_PER_CALL,
+        num_samples=10_000, num_workers=1, prefetch=4,
         threads_per_worker=int(os.environ.get("GCC_TPU_BENCH_THREADS", "1")),
         mode="thread",
+        # One stacked (K, ...) compact item per K-step dispatch, shipped
+        # straight from the native compaction buffers (pipeline.py emit).
+        emit="stacked", super_batch=STEPS_PER_CALL,
     )
     num_conv_layers = cfg.encoder.num_layers - 1
 
@@ -94,10 +97,11 @@ def main():
               flush=True)
 
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
-        bq, bk = next(pipe)
+        bq, bk = next(pipe)  # stacked (K, ...) item
         note("pipeline up; initializing state (first device compile)")
         state, enc, tx = create_pretrain_state(
-            jax.random.PRNGKey(0), cfg, jax.device_put(bq),
+            jax.random.PRNGKey(0), cfg,
+            jax.device_put(jax.tree_util.tree_map(lambda x: x[0], bq)),
             total_steps=100_000, n_max=N_MAX,
         )
         note("state ready; compiling train step")
@@ -107,12 +111,11 @@ def main():
         packed = pack(state)
 
         def next_call():
-            pairs = [next(pipe) for _ in range(STEPS_PER_CALL)]
-            msgs = sum(int(np.asarray(q.n_edges).sum()) +
-                       int(np.asarray(k.n_edges).sum())
-                       for q, k in pairs) * num_conv_layers
-            return (stack_batches([q for q, _ in pairs]),
-                    stack_batches([k for _, k in pairs]), msgs)
+            sq, sk = next(pipe)
+            msgs = (int(sq.meta[:, 1, :].sum(dtype=np.int64))
+                    + int(sk.meta[:, 1, :].sum(dtype=np.int64))
+                    ) * num_conv_layers
+            return sq, sk, msgs
 
         for _ in range(max(1, WARMUP_STEPS // STEPS_PER_CALL)):
             sq, sk, _ = next_call()

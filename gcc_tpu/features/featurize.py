@@ -43,3 +43,52 @@ def featurize_batch(
         node_mask=batch.node_mask,
         adj=adj,
     )
+
+
+class _MaskBatch(NamedTuple):
+    """Node-mask view consumed by the PE solver (it never touches edges —
+    the adjacency is always passed in explicitly on this path)."""
+
+    node_mask: jax.Array
+    n_nodes: jax.Array
+
+
+def featurize_compact(
+    edges: jax.Array, meta: jax.Array, n_max: int, id_bits: int,
+    pos_size: int, pe_method: str = "eigh",
+) -> BatchFeatures:
+    """Featurize stacked compact wire segments without padded expansion.
+
+    Same outputs as expanding each segment with
+    :func:`gcc_tpu.graph.batch.expand_compact` and calling
+    :func:`featurize_batch` on the concatenation (equivalence pinned in
+    tests/test_ops_features.py), but the adjacency comes straight from
+    the packed edge buffer via one scatter-add — skipping the padded
+    (B, E_max) edge materialization and the one-hot contraction whose
+    slots are ~94% padding at the canonical config (docs/PERF.md).
+
+    Args:
+      edges: (S, E_tot) packed edges (S wire segments of B graphs each).
+      meta:  (S, 3, B) int32 — rows n_nodes, n_edges, seed_pos.
+    Returns: BatchFeatures with (S*B, ...) leaves.
+    """
+    from gcc_tpu.ops.aggregate import build_dense_adjacency_compact
+
+    s, _, b = meta.shape
+    n_nodes = meta[:, 0, :].reshape(s * b)
+    seed_pos = meta[:, 2, :].reshape(s * b)
+    adj = build_dense_adjacency_compact(edges, meta[:, 1, :], n_max, id_bits)
+    iota = jnp.arange(n_max, dtype=jnp.int32)[None, :]
+    node_mask = (iota < n_nodes[:, None]).astype(jnp.float32)
+    seed_flag = (iota == seed_pos[:, None]).astype(jnp.float32) * node_mask
+    mb = _MaskBatch(node_mask=node_mask, n_nodes=n_nodes)
+    pos = laplacian_positional_embedding(mb, pos_size, adj=adj,
+                                         method=pe_method)
+    deg = adj.sum(axis=2).astype(jnp.int32)
+    return BatchFeatures(
+        pos=pos,
+        degrees=deg,
+        seed_flag=seed_flag,
+        node_mask=node_mask,
+        adj=adj,
+    )

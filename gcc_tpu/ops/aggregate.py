@@ -80,6 +80,59 @@ def build_dense_adjacency(batch: PaddedSubgraphBatch) -> jax.Array:
     return jnp.swapaxes(counts_t, 1, 2).astype(jnp.float32)
 
 
+def build_dense_adjacency_compact(
+    edges: jax.Array, n_edges: jax.Array, n_max: int, id_bits: int
+) -> jax.Array:
+    """(S·B, N, N) adjacency directly from compact wire edges.
+
+    The padded-batch builder above pays its cost generating (B, E_max, N)
+    one-hot tiles on the VPU, and ~94% of E_max slots are padding at the
+    canonical config (docs/PERF.md lever #2). The compact wire layout
+    (graph/batch.py CompactWireBatch) already holds only the real edges —
+    one packed integer each — so the adjacency is ONE scatter-add of
+    E_tot elements (~13 ns/element on the VPU), skipping both the padded
+    (B, E_max) expansion scatter and the one-hot contraction.
+
+    Args:
+      edges: (S, E_tot) packed ``src | dst << id_bits`` (uint16/int32),
+        per-graph runs concatenated; stale bytes past each segment's
+        edge total are masked out via the counts.
+      n_edges: (S, B) int32 real edge count per graph.
+      n_max: padded node count N of the target bucket.
+    Returns:
+      (S*B, N, N) float32 weighted adjacency A[g, dst, src].
+    """
+    s, e_tot = edges.shape
+    b = n_edges.shape[1]
+    cum = jnp.cumsum(n_edges, axis=1)  # (S, B)
+    e_iota = jnp.arange(e_tot, dtype=jnp.int32)
+    # Per-segment graph id via a fused comparison grid (vectorized
+    # searchsorted — jnp.searchsorted lowers to a while loop on TPU,
+    # graph/batch.py expand_compact).
+    gid = jnp.minimum(
+        jnp.sum(
+            (e_iota[None, :, None] >= cum[:, None, :]).astype(jnp.int32),
+            axis=2,
+        ),
+        b - 1,
+    )  # (S, E_tot)
+    live = e_iota[None, :] < cum[:, -1:]
+    packed = edges.astype(jnp.int32)
+    mask_bits = (1 << id_bits) - 1
+    src = packed & mask_bits
+    dst = (packed >> id_bits) & mask_bits
+    ggid = jnp.arange(s, dtype=jnp.int32)[:, None] * b + gid
+    flat = ggid * (n_max * n_max) + dst * n_max + src
+    oob = s * b * n_max * n_max
+    tgt = jnp.where(live, flat, oob)  # OOB -> dropped
+    adj = (
+        jnp.zeros(s * b * n_max * n_max, jnp.float32)
+        .at[tgt.reshape(-1)]
+        .add(1.0, mode="drop")
+    )
+    return adj.reshape(s * b, n_max, n_max)
+
+
 def build_dense_adjacency_scatter(batch: PaddedSubgraphBatch) -> jax.Array:
     """Scatter-add reference implementation of
     :func:`build_dense_adjacency` (correctness oracle; slower on TPU)."""

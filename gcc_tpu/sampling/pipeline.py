@@ -74,6 +74,16 @@ class PipelineConfig:
     # A bare ShardSampler (no pipeline) falls back to the formula.
     compact_wire: bool = True
     e_tot: int | None = None
+    # "pairs": iterator yields one (query, key) wire pair per step.
+    # "stacked": yields one stacked pair per super_batch — CompactWireBatch
+    #   with (super_batch, e_tot) edges / (super_batch, 3, B) meta leaves,
+    #   exactly the multi-step dispatch layout (training/packed.py). The
+    #   native compaction already produces these stacked buffers, so this
+    #   skips per-step slicing, K queue hops and the consumer's re-stack —
+    #   the sampler's Python cost per batch-pair was ~0.4 ms on the 2-core
+    #   host, about a quarter of the whole step (docs/PERF.md). Requires
+    #   compact_wire + the native sampler + n_max <= 256.
+    emit: str = "pairs"
 
 
 class ShardSampler:
@@ -196,6 +206,16 @@ class ShardSampler:
                 k_src, k_dst, counts[2], counts[3], n_b, step, e_tot)
             self._account_drops(int(qd.sum() + kd.sum()),
                                 int((qd > 0).sum() + (kd > 0).sum()), e_tot)
+            if self.pcfg.emit == "stacked":
+                # One stacked item per super-batch: the native buffers
+                # are already (n_b, e_tot)/(n_b, 3, step) — ship them
+                # whole, no per-step slicing or consumer re-stack.
+                return [(
+                    CompactWireBatch(edges=qe, meta=qm, e_max=e_max,
+                                     id_bits=8),
+                    CompactWireBatch(edges=ke, meta=km, e_max=e_max,
+                                     id_bits=8),
+                )]
             return [
                 (CompactWireBatch(edges=qe[b], meta=qm[b], e_max=e_max,
                                   id_bits=8),
@@ -330,6 +350,15 @@ class PretrainPipeline:
                  pcfg: PipelineConfig, seed: int = 0):
         self.store = store
         self.cfg = cfg
+        if pcfg.emit == "stacked" and not (
+            pcfg.compact_wire and pcfg.n_max <= 256
+            and native.native_available()
+        ):
+            raise ValueError(
+                "emit='stacked' requires compact_wire, n_max <= 256 and "
+                "the native sampler (the stacked buffers come from "
+                "gcc_compact_pack16)"
+            )
         if pcfg.compact_wire and pcfg.e_tot is None:
             pcfg = dataclasses.replace(
                 pcfg, e_tot=_probe_e_tot(store, cfg, pcfg, seed)

@@ -56,6 +56,23 @@ def run_pretrain(
         num_samples=cfg.num_samples,
         num_workers=cfg.num_workers,
     )
+    # Upgrade to stacked super-batch emission when the fast path supports
+    # it: the sampler ships one (K, ...) compact item per K-step dispatch
+    # straight from the native buffers — no per-step slicing, K fewer
+    # queue hops, no consumer re-stack (sampler Python was ~25% of the
+    # step at the canonical config, docs/PERF.md).
+    import dataclasses as _dc
+
+    from gcc_tpu.sampling import native as _native
+
+    _spe = pcfg.num_samples * max(1, pcfg.num_workers) // pcfg.batch_size
+    _k = max(1, min(steps_per_call, _spe))
+    if (pcfg.emit == "pairs" and pcfg.compact_wire and pcfg.n_max <= 256
+            and _native.native_available()):
+        pcfg = _dc.replace(
+            pcfg, emit="stacked", super_batch=_k,
+            prefetch=max(2, pcfg.prefetch // _k),
+        )
     run_dir = os.path.join(out_dir, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
     metrics_path = os.path.join(run_dir, "metrics.jsonl")
@@ -65,9 +82,12 @@ def run_pretrain(
         steps_per_epoch = pipe.steps_per_epoch
         total_steps = steps_per_epoch * cfg.epochs
 
+        stacked = pcfg.emit == "stacked"
         bq0, bk0 = next(pipe)
+        init_b = (jax.tree_util.tree_map(lambda x: x[0], bq0)
+                  if stacked else bq0)
         state, enc, tx = create_pretrain_state(
-            jax.random.PRNGKey(cfg.seed), cfg, jax.device_put(bq0),
+            jax.random.PRNGKey(cfg.seed), cfg, jax.device_put(init_b),
             total_steps, n_max=pcfg.n_max,
         )
         if resume:
@@ -79,7 +99,9 @@ def run_pretrain(
         # K steps per device dispatch, with the ~258-leaf state packed
         # into 3 flat arrays across the RPC boundary: per-call per-leaf
         # overhead dominates at ~10ms steps (training/packed.py).
-        k_steps = max(1, min(steps_per_call, steps_per_epoch))
+        # In stacked mode the item shape fixes the dispatch width.
+        k_steps = (pcfg.super_batch if stacked
+                   else max(1, min(steps_per_call, steps_per_epoch)))
         step_fn, pack, unpack = make_packed_multi_step(
             cfg, enc, tx, state, n_max=pcfg.n_max
         )
@@ -119,15 +141,23 @@ def run_pretrain(
             data_t = 0.0
             for _ in range(max(1, steps_per_epoch // k_steps)):
                 t0 = time.time()
-                pairs = []
-                for _j in range(k_steps):
+                if stacked:
+                    # One queue item IS the whole K-step dispatch.
                     if first_pair is not None:
-                        pairs.append(tuple(first_pair))
+                        sq, sk = first_pair
                         first_pair = None
                     else:
-                        pairs.append(next(pipe))
-                sq = stack_batches([q for q, _ in pairs])
-                sk = stack_batches([k for _, k in pairs])
+                        sq, sk = next(pipe)
+                else:
+                    pairs = []
+                    for _j in range(k_steps):
+                        if first_pair is not None:
+                            pairs.append(tuple(first_pair))
+                            first_pair = None
+                        else:
+                            pairs.append(next(pipe))
+                    sq = stack_batches([q for q, _ in pairs])
+                    sk = stack_batches([k for _, k in pairs])
                 data_t += time.time() - t0
                 packed, metrics = step_fn(
                     packed, jax.device_put(sq), jax.device_put(sk)

@@ -207,10 +207,47 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
     return step_from_feats
 
 
+def _featurize_compact_segments(wires_q: CompactWireBatch,
+                                wires_k: CompactWireBatch,
+                                pos_size: int, pe_method: str, n_max: int,
+                                k_steps: int):
+    """Featurize stacked compact wires ((K, E_tot) edges / (K, 3, B)
+    meta, or K=1 with unstacked leaves) in one program, adjacency built
+    straight from the packed edge buffer — no padded (B, E_max)
+    expansion (features/featurize.py featurize_compact). Returns
+    BatchFeatures with (K, 2·bsz, ...) leaves, [:bsz] query / [bsz:] key
+    per step."""
+    from gcc_tpu.features.featurize import featurize_compact
+
+    lift = (lambda x: x[None]) if k_steps == 1 and wires_q.meta.ndim == 2 \
+        else (lambda x: x)
+    # Segment order q0, k0, q1, k1, ... flattens to graph order
+    # (step0 q graphs, step0 k graphs, step1 q graphs, ...), so the
+    # (K, 2·bsz) reshape below is a view.
+    edges = jnp.stack([lift(wires_q.edges), lift(wires_k.edges)], axis=1)
+    meta = jnp.stack([lift(wires_q.meta), lift(wires_k.meta)], axis=1)
+    e_tot = edges.shape[-1]
+    bsz = meta.shape[-1]
+    feats = featurize_compact(
+        edges.reshape(2 * k_steps, e_tot), meta.reshape(2 * k_steps, 3, bsz),
+        n_max, wires_q.id_bits, pos_size, pe_method,
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((k_steps, 2 * bsz) + x.shape[1:]), feats
+    )
+
+
 def featurize_pair(batch_q, batch_k, pos_size: int, pe_method: str,
                    n_max: int | None):
     """Featurize query+key in ONE stacked program (PE dominates step
     time as launch-bound small kernels; fusing halves their count)."""
+    if isinstance(batch_q, CompactWireBatch):
+        feats = _featurize_compact_segments(batch_q, batch_k, pos_size,
+                                            pe_method, n_max, k_steps=1)
+        f = jax.tree_util.tree_map(lambda x: x[0], feats)
+        bsz = f.node_mask.shape[0] // 2
+        return (jax.tree_util.tree_map(lambda x: x[:bsz], f),
+                jax.tree_util.tree_map(lambda x: x[bsz:], f))
     batch_q = _as_padded(batch_q, n_max)
     batch_k = _as_padded(batch_k, n_max)
     bsz = batch_q.node_mask.shape[0]
@@ -240,6 +277,9 @@ def featurize_stacked(batches_q, batches_k, pos_size: int, pe_method: str,
     saved; with the op-count-bound Jacobi finish it wins ~20%,
     docs/PERF.md.)"""
     k_steps = jax.tree_util.tree_leaves(batches_q)[0].shape[0]
+    if isinstance(batches_q, CompactWireBatch):
+        return _featurize_compact_segments(batches_q, batches_k, pos_size,
+                                           pe_method, n_max, k_steps)
     padded = []
     for i in range(k_steps):
         take = lambda x: x[i]

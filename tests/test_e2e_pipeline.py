@@ -226,3 +226,49 @@ def test_run_pretrain_resume(tmp_path):
     assert s2["steps"] == 4
     state = load_checkpoint(os.path.join(s2["run_dir"], "current"))
     assert int(np.asarray(state["step"])) == 8
+
+
+def test_stacked_emit_matches_pairs(tmp_path):
+    """emit='stacked' ships the identical data as emit='pairs' (same
+    seed): one (K, ...) compact item per super-batch vs K separately
+    sliced pairs — packaging only, bit-for-bit equal buffers."""
+    from gcc_tpu.sampling import native
+    from gcc_tpu.training.pretrain import stack_batches
+
+    if not native.native_available():
+        pytest.skip("stacked emit requires the native sampler")
+    store = synthetic_corpus(str(tmp_path / "c"), num_graphs=2,
+                             nodes_per_graph=400, avg_degree=6)
+    scfg = SamplerConfig(rw_hops=8)
+    base = PipelineConfig(batch_size=4, n_max=32, e_max=256, num_samples=32,
+                          num_workers=0, super_batch=4)
+    import dataclasses
+
+    with PretrainPipeline(store, scfg, base, seed=11) as pipe:
+        pairs = [next(pipe) for _ in range(4)]
+        sq = stack_batches([q for q, _ in pairs])
+        sk = stack_batches([k for _, k in pairs])
+    with PretrainPipeline(
+        store, scfg, dataclasses.replace(base, emit="stacked"), seed=11
+    ) as pipe2:
+        gq, gk = next(pipe2)
+    for a, b in ((sq, gq), (sk, gk)):
+        assert b.edges.shape == (4, pipe2.pcfg.e_tot)
+        np.testing.assert_array_equal(np.asarray(a.meta), np.asarray(b.meta))
+        # Compare only the live edge region per segment (tail bytes of
+        # the pairs path come from sliced reused buffers, stacked path
+        # from fresh np.empty — both are masked by the counts).
+        for i in range(4):
+            tot = int(np.asarray(a.meta)[i, 1].sum())
+            np.testing.assert_array_equal(
+                np.asarray(a.edges)[i, :tot], np.asarray(b.edges)[i, :tot]
+            )
+
+
+def test_stacked_emit_requires_fast_path(tmp_path):
+    store = synthetic_corpus(str(tmp_path / "c2"), num_graphs=1,
+                             nodes_per_graph=200, avg_degree=4)
+    pcfg = PipelineConfig(batch_size=4, n_max=512, e_max=256,
+                          num_samples=16, num_workers=0, emit="stacked")
+    with pytest.raises(ValueError, match="stacked"):
+        PretrainPipeline(store, SamplerConfig(rw_hops=8), pcfg)

@@ -434,3 +434,103 @@ def test_pe_jacobi_rr_matches_eigh_rr(monkeypatch):
     cos = np.asarray(cos)
     assert np.median(cos) > 0.999, f"median col cosine {np.median(cos)}"
     assert (cos > 0.99).mean() > 0.8, f"cos dist {np.sort(cos)[:5]}"
+
+
+def _random_compact_segments(rng, s, b, n_max, e_tot):
+    """Random stacked compact wire segments + the padded oracle batches."""
+    from gcc_tpu.graph.batch import (
+        CompactWireBatch, expand_compact, pack_edge_ids,
+    )
+
+    dt = np.uint16 if n_max <= 256 else np.int32
+    edges = np.full((s, e_tot), np.iinfo(dt).max, dt)  # stale tail bytes
+    meta = np.zeros((s, 3, b), np.int32)
+    padded = []
+    id_bits = 8 if n_max <= 256 else 16
+    for i in range(s):
+        n = rng.integers(1, n_max + 1, b).astype(np.int32)
+        e = rng.integers(0, max(2, e_tot // b), b).astype(np.int32)
+        e = np.minimum(e, (e_tot - 8) // b)  # leave stale tail bytes
+        seed_pos = rng.integers(0, n).astype(np.int32)
+        src = np.concatenate([rng.integers(0, n[j], e[j]) for j in range(b)])
+        dst = np.concatenate([rng.integers(0, n[j], e[j]) for j in range(b)])
+        packed, bits = pack_edge_ids(src.astype(np.int32),
+                                     dst.astype(np.int32), n_max)
+        assert bits == id_bits
+        edges[i, : packed.size] = packed
+        meta[i] = np.stack([n, e, seed_pos])
+        padded.append(expand_compact(
+            CompactWireBatch(edges=edges[i], meta=meta[i], e_max=e_tot,
+                             id_bits=id_bits),
+            n_max,
+        ))
+    return edges, meta, id_bits, padded
+
+
+def test_featurize_compact_matches_padded_path():
+    """featurize_compact (adjacency scattered straight from the packed
+    wire) is bit-identical to expanding each segment and running
+    featurize_batch on the concatenation — the production hoisted path
+    before this optimization."""
+    from gcc_tpu.features.featurize import featurize_compact
+    from gcc_tpu.graph.batch import concat_padded_many
+
+    rng = np.random.default_rng(3)
+    s, b, n_max, e_tot = 4, 3, 16, 64
+    edges, meta, id_bits, padded = _random_compact_segments(
+        rng, s, b, n_max, e_tot)
+
+    got = jax.jit(
+        lambda ed, me: featurize_compact(ed, me, n_max, id_bits, 8,
+                                         pe_method="eigh")
+    )(edges, meta)
+    want = featurize_batch(concat_padded_many(padded), 8, pe_method="eigh")
+    for name in got._fields:
+        a, w = np.asarray(getattr(got, name)), np.asarray(getattr(want, name))
+        if name == "pos":
+            # The PE solver runs in a different fusion context (packed-
+            # edge program vs padded-edge program), so eigh inputs agree
+            # exactly but downstream rounding can differ in the last ulp.
+            np.testing.assert_allclose(a, w, rtol=1e-5, atol=1e-6,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, w, err_msg=name)
+
+
+def test_featurize_stacked_routes_compact():
+    """featurize_stacked on stacked CompactWireBatch pytrees returns the
+    same (K, 2B, ...) features as the padded-expansion route."""
+    import dataclasses
+
+    from gcc_tpu.graph.batch import CompactWireBatch
+    from gcc_tpu.training.pretrain import featurize_stacked
+
+    rng = np.random.default_rng(5)
+    k_steps, b, n_max, e_tot = 2, 3, 16, 48
+    eq, mq, bits, _ = _random_compact_segments(rng, k_steps, b, n_max, e_tot)
+    ek, mk, _, _ = _random_compact_segments(rng, k_steps, b, n_max, e_tot)
+    wq = CompactWireBatch(edges=eq, meta=mq, e_max=e_tot, id_bits=bits)
+    wk = CompactWireBatch(edges=ek, meta=mk, e_max=e_tot, id_bits=bits)
+
+    got = featurize_stacked(wq, wk, 8, "eigh", n_max)
+
+    # Padded-expansion oracle: per step, expand q and k and featurize the
+    # concatenation (the pre-optimization hoisted layout).
+    from gcc_tpu.graph.batch import concat_padded_many, expand_compact
+
+    per_step = []
+    for i in range(k_steps):
+        pq = expand_compact(dataclasses.replace(
+            wq, edges=eq[i], meta=mq[i]), n_max)
+        pk = expand_compact(dataclasses.replace(
+            wk, edges=ek[i], meta=mk[i]), n_max)
+        per_step.append(featurize_batch(
+            concat_padded_many([pq, pk]), 8, pe_method="eigh"))
+    for name in got._fields:
+        want = np.stack([np.asarray(getattr(f, name)) for f in per_step])
+        got_a = np.asarray(getattr(got, name))
+        if name == "pos":
+            np.testing.assert_allclose(got_a, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(got_a, want, err_msg=name)
