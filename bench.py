@@ -79,6 +79,12 @@ def main():
     )
     # threads_per_worker=1: per-call thread spawning costs more than it
     # buys on the 2-core relay host (measured 2x slower at 2 threads).
+    # "routed" (default): stacked super-batch items, size-bucket-routed —
+    # ~99% of dispatches run the (N_SMALL, ·) program with 4x less
+    # N²-proportional device work (pipeline.py PipelineConfig.emit;
+    # learning-neutrality validated in docs/PERF.md). "stacked" keeps the
+    # reference's random batch composition.
+    emit = os.environ.get("GCC_TPU_BENCH_EMIT", "routed")
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
         num_samples=10_000, num_workers=1, prefetch=4,
@@ -86,7 +92,7 @@ def main():
         mode="thread",
         # One stacked (K, ...) compact item per K-step dispatch, shipped
         # straight from the native compaction buffers (pipeline.py emit).
-        emit="stacked", super_batch=STEPS_PER_CALL,
+        emit=emit, super_batch=STEPS_PER_CALL, n_small=128,
     )
     num_conv_layers = cfg.encoder.num_layers - 1
 
@@ -122,6 +128,22 @@ def main():
             packed, metrics = step_fn(packed, jax.device_put(sq),
                                       jax.device_put(sk))
         _ = float(np.asarray(metrics["loss"])[-1])
+        if emit == "routed" and sq.n_max != N_MAX:
+            # Force-compile the large-bucket program now with its REAL
+            # shapes (large items carry e_tot_large-wide edge buffers and
+            # only assemble after ~100 small items; a mid-measure relay
+            # compile would wreck a chunk). Zero edges = weight-0
+            # self-loops on node 0: valid content, exact program.
+            import dataclasses
+
+            e_tot_l = pipe.pcfg.e_tot_large
+            fake = dataclasses.replace(
+                sq, n_max=N_MAX,
+                edges=np.zeros((sq.edges.shape[0], e_tot_l), np.uint16),
+            )
+            packed, metrics = step_fn(packed, jax.device_put(fake),
+                                      jax.device_put(fake))
+            _ = float(np.asarray(metrics["loss"])[-1])
         note("warmup done; measuring")
 
         # The relay host shows multi-second slow phases unrelated to this

@@ -478,4 +478,38 @@ void gcc_compact_pack16(
   }
 }
 
+// Append selected wire rows into a class pool (the size-bucket router,
+// gcc_tpu/sampling/pipeline.py emit="routed"): for each index in
+// rows[0..n_rows), pack that row's first e[row] edges as uint16
+// (src | dst << 8, local ids < 256) onto the pool's flat edge buffer and
+// record (n, e, seed=0) in the per-row meta arrays. st = {row_off,
+// edge_off}; both advance. The caller guarantees capacity (flat_cap is
+// sized for full 2048-edge rows), so nothing is ever truncated here —
+// truncation accounting happens once at item assembly against e_tot.
+void gcc_pack_rows16(
+    const int16_t* src, const int16_t* dst, const int32_t* n,
+    const int32_t* e, const int32_t* rows, int64_t n_rows, int64_t e_cap,
+    uint16_t* flat, int64_t flat_cap, int32_t* pool_n, int32_t* pool_e,
+    int64_t* st) {
+  int64_t row_off = st[0], edge_off = st[1];
+  for (int64_t i = 0; i < n_rows; ++i) {
+    const int64_t row = (int64_t)rows[i];
+    int64_t take = (int64_t)e[row];
+    if (take > flat_cap - edge_off) take = flat_cap - edge_off;  // guarded
+    const int16_t* rs = src + row * e_cap;
+    const int16_t* rd = dst + row * e_cap;
+    uint16_t* oe = flat + edge_off;
+    for (int64_t j = 0; j < take; ++j) {
+      oe[j] =
+          (uint16_t)((uint16_t)(rs[j] & 0xFF) | ((uint16_t)(rd[j] & 0xFF) << 8));
+    }
+    pool_n[row_off] = n[row];
+    pool_e[row_off] = (int32_t)take;
+    ++row_off;
+    edge_off += take;
+  }
+  st[0] = row_off;
+  st[1] = edge_off;
+}
+
 }  // extern "C"

@@ -137,6 +137,12 @@ class CompactWireBatch:
     meta: jax.Array
     e_max: int = dataclasses.field(metadata=dict(static=True), default=2048)
     id_bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # Optional size-bucket tag (0 = unrouted): the node bucket this batch
+    # was routed into (pipeline.py emit="routed"). Static pytree metadata,
+    # so batches of different buckets hit different jit cache entries of
+    # the SAME train-step callable — no per-bucket program plumbing in
+    # consumers; featurization reads it to size the padded node dim.
+    n_max: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def src(self) -> jax.Array:
@@ -188,7 +194,7 @@ def pack_edge_ids(src, dst, n_max: int):
 jax.tree_util.register_dataclass(
     CompactWireBatch,
     data_fields=["edges", "meta"],
-    meta_fields=["e_max", "id_bits"],
+    meta_fields=["e_max", "id_bits", "n_max"],
 )
 
 

@@ -74,6 +74,13 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,      # e_cap, e_tot
         u16p, i32p, i64p,                    # out_edges, out_meta, dropped
     ]
+    lib.gcc_pack_rows16.argtypes = [
+        i16p, i16p, i32p, i32p,              # src, dst, n, e
+        i32p, ctypes.c_int64,                # rows, n_rows
+        ctypes.c_int64,                      # e_cap
+        u16p, ctypes.c_int64,                # flat, flat_cap
+        i32p, i32p, i64p,                    # pool_n, pool_e, st
+    ]
     lib.gcc_sample_wire_pairs.argtypes = [
         i64p, i32p, ctypes.c_int64,          # csr
         i64p, i64p, ctypes.c_int64,          # seeds_q, seeds_k, num
@@ -415,3 +422,17 @@ def compact_pack16(src, dst, n, e, n_batches: int, step: int,
         n_batches, step, e_cap, e_tot, edges, meta, dropped,
     )
     return edges, meta, dropped
+
+
+def pack_rows16(src, dst, n, e, rows, flat, pool_n, pool_e, st):
+    """Append selected wire rows, uint16-packed, onto a router class pool
+    (see pipeline.py emit="routed"). Mutates flat/pool_n/pool_e/st in
+    place; st = int64 {row_off, edge_off}. The caller sizes flat for
+    full-e_cap rows, so nothing truncates here."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, np.int32)
+    lib.gcc_pack_rows16(
+        src, dst, np.ascontiguousarray(n, np.int32),
+        np.ascontiguousarray(e, np.int32), rows, len(rows), src.shape[1],
+        flat, flat.size, pool_n, pool_e, st,
+    )

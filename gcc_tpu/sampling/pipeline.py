@@ -83,7 +83,96 @@ class PipelineConfig:
     #   the sampler's Python cost per batch-pair was ~0.4 ms on the 2-core
     #   host, about a quarter of the whole step (docs/PERF.md). Requires
     #   compact_wire + the native sampler + n_max <= 256.
+    # "routed": like "stacked", plus size-bucket routing: pairs whose two
+    #   subgraphs both fit `n_small` nodes are accumulated into items
+    #   tagged n_max=n_small; the rest into n_max=`n_max` items. The tag
+    #   is static pytree metadata (graph/batch.py), so each bucket hits
+    #   its own jit cache entry and ~99% of dispatches (measured at the
+    #   canonical config, docs/PERF.md) run a program with 4x less
+    #   N²-proportional device work. Deviation from the reference's
+    #   random batch composition: batches are size-class-homogeneous and
+    #   large pairs are DELAYED until a full item of them accumulates
+    #   (order-only for the MoCo objective — negatives come from the
+    #   queue, not the batch; BN batch statistics see size-sorted
+    #   batches). Validated learning-neutral in docs/PERF.md.
+    #   Routing is host-local: in multi-host DP, hosts would emit
+    #   mismatched class tags at the same step — use "stacked" there
+    #   (parallel/multihost.py), as with the e_tot probe.
     emit: str = "pairs"
+    n_small: int = 128
+    # Per-class compact-wire budgets (None → probed at startup alongside
+    # e_tot). The large class is rare, so its budget is sized generously
+    # from per-pair maxima rather than observed batch sums.
+    e_tot_small: int | None = None
+    e_tot_large: int | None = None
+
+
+class _RouterPool:
+    """Per-size-class accumulator of uint16-packed wire rows (emit="routed").
+
+    Holds query and key sides in parallel (rows always appended for both),
+    each as a flat packed-edge buffer + per-row (n, e) arrays + an int64
+    {row_off, edge_off} cursor mutated by the native append
+    (native.pack_rows16). flat is sized for full-e_cap rows so the append
+    never truncates; truncation happens only at item assembly against the
+    class e_tot (accounted like every compact-wire overflow).
+    """
+
+    def __init__(self, cap_rows: int, flat_cap: int):
+        self.q = (np.empty(flat_cap, np.uint16),
+                  np.empty(cap_rows, np.int32),
+                  np.empty(cap_rows, np.int32),
+                  np.zeros(2, np.int64))
+        self.k = (np.empty(flat_cap, np.uint16),
+                  np.empty(cap_rows, np.int32),
+                  np.empty(cap_rows, np.int32),
+                  np.zeros(2, np.int64))
+
+    @property
+    def rows(self) -> int:
+        return int(self.q[3][0])
+
+    def pop_side(self, side, rows_use: int, b: int, k_steps: int,
+                 e_tot: int):
+        """Assemble (k_steps, e_tot) edges + (k_steps, 3, b) meta from the
+        first rows_use rows of one side, then compact the remainder to the
+        buffer front. Returns (edges, meta, dropped_edges)."""
+        flat, pn, pe, st = side
+        e = pe[:rows_use].reshape(k_steps, b)
+        n = pn[:rows_use].reshape(k_steps, b)
+        tot = e.sum(axis=1, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(tot)[:-1]])
+        edges = np.zeros((k_steps, e_tot), np.uint16)
+        meta = np.zeros((k_steps, 3, b), np.int32)
+        meta[:, 0] = n
+        dropped = 0
+        if (tot <= e_tot).all():
+            meta[:, 1] = e
+            for s in range(k_steps):
+                edges[s, : tot[s]] = flat[starts[s] : starts[s] + tot[s]]
+        else:
+            # Rare overflow: clip trailing rows of the offending steps
+            # (counts stay exact — same contract as gcc_compact_pack16).
+            for s in range(k_steps):
+                kept = np.minimum(
+                    e[s], np.maximum(0, e_tot - (np.cumsum(e[s]) - e[s]))
+                ).astype(np.int32)
+                meta[s, 1] = kept
+                off, o = int(starts[s]), 0
+                for j in range(b):
+                    t = int(kept[j])
+                    edges[s, o : o + t] = flat[off : off + t]
+                    o += t
+                    off += int(e[s, j])
+                dropped += int(tot[s]) - int(kept.sum())
+        consumed = int(np.sum(pe[:rows_use], dtype=np.int64))
+        rem_rows = int(st[0]) - rows_use
+        rem_edges = int(st[1]) - consumed
+        pn[:rem_rows] = pn[rows_use : rows_use + rem_rows].copy()
+        pe[:rem_rows] = pe[rows_use : rows_use + rem_rows].copy()
+        flat[:rem_edges] = flat[consumed : consumed + rem_edges].copy()
+        st[0], st[1] = rem_rows, rem_edges
+        return edges, meta, dropped
 
 
 class ShardSampler:
@@ -109,9 +198,12 @@ class ShardSampler:
         self._native_buf = None  # reused native-call output buffers
         self.dropped_edges = 0       # compact-wire overflow accounting
         self.truncated_batches = 0
+        self._pools: dict | None = None   # emit="routed" class pools
 
     def next_pair(self) -> tuple[WireBatch, WireBatch]:
-        if not self._ready:
+        # "while": a routed super-batch may emit nothing until a class
+        # pool fills.
+        while not self._ready:
             self._ready = list(self._sample_super_batch())
         return self._ready.pop(0)
 
@@ -189,6 +281,10 @@ class ShardSampler:
                 k_dst[rows] = out_k.dst
                 counts[2][rows], counts[3][rows] = out_k.n, out_k.e
 
+        if self.pcfg.emit == "routed":
+            return self._route(q_src, q_dst, k_src, k_dst, counts, bsz,
+                               e_max)
+
         pairs = []
         step = self.pcfg.batch_size
         compact = self.pcfg.compact_wire
@@ -249,6 +345,53 @@ class ShardSampler:
                 ))
         return pairs
 
+    def _route(self, q_src, q_dst, k_src, k_dst, counts, bsz: int,
+               e_max: int):
+        """Size-bucket routing (emit="routed"): append each sampled pair
+        to its class pool, emit one stacked item per pool that reaches a
+        full super-batch. See PipelineConfig.emit for semantics."""
+        pcfg = self.pcfg
+        step, k_steps = pcfg.batch_size, max(1, pcfg.super_batch)
+        need = step * k_steps
+        if self._pools is None:
+            # Capacity: after the emit loop a pool holds < need rows, and
+            # one super-batch appends at most bsz more. flat is sized for
+            # full-e_cap rows so the native append never truncates.
+            cap_rows = need + bsz
+            self._pools = {
+                "small": _RouterPool(cap_rows, cap_rows * e_max),
+                "large": _RouterPool(cap_rows, cap_rows * e_max),
+            }
+        ns = pcfg.n_small
+        small = (counts[0] <= ns) & (counts[2] <= ns)
+        classes = (
+            ("small", np.where(small)[0], ns, pcfg.e_tot_small),
+            ("large", np.where(~small)[0], pcfg.n_max, pcfg.e_tot_large),
+        )
+        items = []
+        for name, rows, n_tag, e_tot in classes:
+            pool = self._pools[name]
+            if rows.size:
+                rows = rows.astype(np.int32)
+                native.pack_rows16(q_src, q_dst, counts[0], counts[1],
+                                   rows, *pool.q)
+                native.pack_rows16(k_src, k_dst, counts[2], counts[3],
+                                   rows, *pool.k)
+            e_tot = e_tot or (step * e_max // 4)
+            while pool.rows >= need:
+                qe, qm, qd = pool.pop_side(pool.q, need, step, k_steps,
+                                           e_tot)
+                ke, km, kd = pool.pop_side(pool.k, need, step, k_steps,
+                                           e_tot)
+                self._account_drops(qd + kd, 1 if (qd or kd) else 0, e_tot)
+                items.append((
+                    CompactWireBatch(edges=qe, meta=qm, e_max=e_max,
+                                     id_bits=8, n_max=n_tag),
+                    CompactWireBatch(edges=ke, meta=km, e_max=e_max,
+                                     id_bits=8, n_max=n_tag),
+                ))
+        return items
+
     def _account_drops(self, dropped: int, batches: int, e_tot: int):
         """Surface compact-wire overflow: trailing graphs lost edges
         (counts in n_edges stay exact, so training sees fewer edges,
@@ -297,17 +440,57 @@ def _probe_e_tot(store: CorpusStore, cfg: SamplerConfig,
     Multi-host runs must pass an explicit ``e_tot``: each host probes
     its own corpus shard, and differing results would give hosts
     mismatched global-batch shapes (parallel/multihost.py)."""
-    probe_cfg = dataclasses.replace(pcfg, compact_wire=False)
+    stats = _probe_pairs(store, cfg, pcfg, seed)
+    max_total = max(
+        max(int(qe.sum()), int(ke.sum())) for _, qe, _, ke in stats
+    )
+    return _round_e_tot(max_total * 1.5, pcfg)
+
+
+def _probe_pairs(store: CorpusStore, cfg: SamplerConfig,
+                 pcfg: PipelineConfig, seed: int):
+    """Draw one probe super-batch of plain wire pairs (own RNG stream)
+    and return their per-pair stats [(q_n, q_e, k_n, k_e), ...]."""
+    probe_cfg = dataclasses.replace(pcfg, compact_wire=False, emit="pairs")
     shard = ShardSampler(store, list(range(len(store.graph_sizes))),
                          cfg, probe_cfg, seed + 104_729)
-    max_total = 0
+    out = []
     for _ in range(max(1, probe_cfg.super_batch)):
         q, k = shard.next_pair()
-        max_total = max(max_total, int(np.asarray(q.n_edges).sum()),
-                        int(np.asarray(k.n_edges).sum()))
+        out.append((np.asarray(q.n_nodes).copy(), np.asarray(q.n_edges).copy(),
+                    np.asarray(k.n_nodes).copy(), np.asarray(k.n_edges).copy()))
+    return out
+
+
+def _round_e_tot(value: float, pcfg: PipelineConfig) -> int:
     hard_cap = pcfg.batch_size * pcfg.e_max
-    e_tot = int(np.ceil(max_total * 1.5 / 512)) * 512
-    return int(np.clip(e_tot, 1024, hard_cap))
+    return int(np.clip(int(np.ceil(value / 512)) * 512, 1024, hard_cap))
+
+
+def _probe_class_e_tots(stats, pcfg: PipelineConfig) -> tuple[int, int]:
+    """Per-class compact budgets for emit="routed" from probe stats.
+
+    Small class: 1.5x the max probe batch edge total over batches formed
+    of consecutive small pairs (routing composes batches exactly that
+    way). Large class: rare — probes seldom yield a full batch of them,
+    so size from per-pair maxima instead (B · 1.5 · max pair edges)."""
+    qn = np.concatenate([s[0] for s in stats])
+    qe = np.concatenate([s[1] for s in stats])
+    kn = np.concatenate([s[2] for s in stats])
+    ke = np.concatenate([s[3] for s in stats])
+    small = (qn <= pcfg.n_small) & (kn <= pcfg.n_small)
+    side_max = np.maximum(qe, ke)
+    b = pcfg.batch_size
+
+    def class_budget(mask):
+        vals = side_max[mask]
+        if vals.size >= b:
+            chunks = vals[: vals.size // b * b].reshape(-1, b).sum(axis=1)
+            return _round_e_tot(float(chunks.max()) * 1.5, pcfg)
+        per_pair = float(vals.max()) if vals.size else float(pcfg.e_max)
+        return _round_e_tot(per_pair * b * 1.5, pcfg)
+
+    return class_budget(small), class_budget(~small)
 
 
 class _WorkerError:
@@ -350,19 +533,33 @@ class PretrainPipeline:
                  pcfg: PipelineConfig, seed: int = 0):
         self.store = store
         self.cfg = cfg
-        if pcfg.emit == "stacked" and not (
+        if pcfg.emit in ("stacked", "routed") and not (
             pcfg.compact_wire and pcfg.n_max <= 256
             and native.native_available()
         ):
             raise ValueError(
-                "emit='stacked' requires compact_wire, n_max <= 256 and "
-                "the native sampler (the stacked buffers come from "
-                "gcc_compact_pack16)"
+                f"emit={pcfg.emit!r} requires compact_wire, n_max <= 256 "
+                "and the native sampler (the stacked buffers come from "
+                "the native packing kernels)"
             )
-        if pcfg.compact_wire and pcfg.e_tot is None:
-            pcfg = dataclasses.replace(
-                pcfg, e_tot=_probe_e_tot(store, cfg, pcfg, seed)
+        if pcfg.emit == "routed" and not pcfg.n_small < pcfg.n_max:
+            raise ValueError("emit='routed' needs n_small < n_max")
+        if pcfg.compact_wire and (
+            pcfg.e_tot is None
+            or (pcfg.emit == "routed"
+                and (pcfg.e_tot_small is None or pcfg.e_tot_large is None))
+        ):
+            stats = _probe_pairs(store, cfg, pcfg, seed)
+            max_total = max(
+                max(int(qe.sum()), int(ke.sum())) for _, qe, _, ke in stats
             )
+            updates = {"e_tot": pcfg.e_tot
+                       or _round_e_tot(max_total * 1.5, pcfg)}
+            if pcfg.emit == "routed":
+                e_small, e_large = _probe_class_e_tots(stats, pcfg)
+                updates["e_tot_small"] = pcfg.e_tot_small or e_small
+                updates["e_tot_large"] = pcfg.e_tot_large or e_large
+            pcfg = dataclasses.replace(pcfg, **updates)
         self.pcfg = pcfg
         self.seed = seed
         self._procs: list = []

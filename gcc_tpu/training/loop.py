@@ -69,9 +69,11 @@ def run_pretrain(
     _k = max(1, min(steps_per_call, _spe))
     if (pcfg.emit == "pairs" and pcfg.compact_wire and pcfg.n_max <= 256
             and _native.native_available()):
+        pcfg = _dc.replace(pcfg, emit="stacked")
+    if pcfg.emit in ("stacked", "routed") and pcfg.super_batch != _k:
+        # Item shape must match the K-step dispatch width.
         pcfg = _dc.replace(
-            pcfg, emit="stacked", super_batch=_k,
-            prefetch=max(2, pcfg.prefetch // _k),
+            pcfg, super_batch=_k, prefetch=max(2, pcfg.prefetch // _k),
         )
     run_dir = os.path.join(out_dir, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
@@ -82,7 +84,7 @@ def run_pretrain(
         steps_per_epoch = pipe.steps_per_epoch
         total_steps = steps_per_epoch * cfg.epochs
 
-        stacked = pcfg.emit == "stacked"
+        stacked = pcfg.emit in ("stacked", "routed")
         bq0, bk0 = next(pipe)
         init_b = (jax.tree_util.tree_map(lambda x: x[0], bq0)
                   if stacked else bq0)

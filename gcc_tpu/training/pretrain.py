@@ -53,6 +53,7 @@ class PretrainState(NamedTuple):
 
 def _as_padded(batch, n_max: int | None) -> PaddedSubgraphBatch:
     if isinstance(batch, CompactWireBatch):
+        n_max = batch.n_max or n_max  # routed batches carry their bucket
         assert n_max is not None, "n_max required to expand a wire batch"
         return expand_compact(batch, n_max)
     if isinstance(batch, WireBatch):
@@ -219,6 +220,7 @@ def _featurize_compact_segments(wires_q: CompactWireBatch,
     per step."""
     from gcc_tpu.features.featurize import featurize_compact
 
+    n_max = wires_q.n_max or n_max  # routed batches carry their bucket
     lift = (lambda x: x[None]) if k_steps == 1 and wires_q.meta.ndim == 2 \
         else (lambda x: x)
     # Segment order q0, k0, q1, k1, ... flattens to graph order

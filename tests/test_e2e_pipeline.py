@@ -272,3 +272,75 @@ def test_stacked_emit_requires_fast_path(tmp_path):
                           num_samples=16, num_workers=0, emit="stacked")
     with pytest.raises(ValueError, match="stacked"):
         PretrainPipeline(store, SamplerConfig(rw_hops=8), pcfg)
+
+
+def test_routed_emit_partitions_pairs(tmp_path):
+    """emit='routed' yields size-homogeneous stacked items whose pairs
+    are exactly the pairs-mode stream's pairs, regrouped by class: every
+    routed (q, k) pair appears in the pairs-mode stream (same seed) with
+    identical content, and every item's class tag bounds its sizes."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("routed emit requires the native sampler")
+    import dataclasses
+
+    store = synthetic_corpus(str(tmp_path / "c"), num_graphs=2,
+                             nodes_per_graph=400, avg_degree=8)
+    scfg = SamplerConfig(rw_hops=12)
+    base = PipelineConfig(batch_size=4, n_max=64, e_max=256, num_samples=256,
+                          num_workers=0, super_batch=2, n_small=16)
+    # Reference stream: pairs mode, same seed.
+    ref_pairs = {}
+    with PretrainPipeline(store, scfg, base, seed=7) as pipe:
+        for _ in range(48):
+            q, k = next(pipe)
+            qm, km = np.asarray(q.meta), np.asarray(k.meta)
+            # Reconstruct per-pair live runs from the compact layout
+            # (per-graph runs concatenated in order).
+            qoff = np.concatenate([[0], np.cumsum(qm[1])])
+            koff = np.concatenate([[0], np.cumsum(km[1])])
+            for j in range(4):
+                key = (
+                    int(qm[0, j]),
+                    bytes(np.asarray(q.edges)[qoff[j]:qoff[j + 1]]),
+                    int(km[0, j]),
+                    bytes(np.asarray(k.edges)[koff[j]:koff[j + 1]]),
+                )
+                ref_pairs[key] = ref_pairs.get(key, 0) + 1
+    routed = dataclasses.replace(base, emit="routed")
+    n_small_items = n_large_items = 0
+    with PretrainPipeline(store, scfg, routed, seed=7) as pipe:
+        assert pipe.pcfg.e_tot_small is not None
+        assert pipe.pcfg.e_tot_large is not None
+        for _ in range(6):
+            sq, sk = next(pipe)
+            assert sq.n_max == sk.n_max and sq.n_max in (16, 64)
+            e_tot_c = (pipe.pcfg.e_tot_small if sq.n_max == 16
+                       else pipe.pcfg.e_tot_large)
+            assert sq.edges.shape == (2, e_tot_c)
+            if sq.n_max == 16:
+                n_small_items += 1
+            else:
+                n_large_items += 1
+            qm, km = np.asarray(sq.meta), np.asarray(sk.meta)
+            for s in range(2):
+                # Class homogeneity.
+                lim = sq.n_max
+                assert (qm[s, 0] <= lim).all() and (km[s, 0] <= lim).all()
+                if lim == 16:
+                    pass
+                else:
+                    assert ((qm[s, 0] > 16) | (km[s, 0] > 16)).all()
+                qoff = np.concatenate([[0], np.cumsum(qm[s, 1])])
+                koff = np.concatenate([[0], np.cumsum(km[s, 1])])
+                for j in range(4):
+                    key = (
+                        int(qm[s, 0, j]),
+                        bytes(np.asarray(sq.edges)[s, qoff[j]:qoff[j + 1]]),
+                        int(km[s, 0, j]),
+                        bytes(np.asarray(sk.edges)[s, koff[j]:koff[j + 1]]),
+                    )
+                    assert ref_pairs.get(key, 0) > 0, "routed pair not in pairs stream"
+                    ref_pairs[key] -= 1
+    assert n_small_items > 0, "no small items emitted"
