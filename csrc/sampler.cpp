@@ -88,33 +88,43 @@ struct Csr {
 // extraction — 0.74 vs 0.60 ms/batch-pair: the stamp probes of one subgraph
 // concentrate on ~2k distinct nodes and stay cache-resident, while the hash
 // pays its compute on every probe. docs/PERF.md host section.)
+// Layout: one uint32 word per graph node, (epoch16 << 16) | local_id16 —
+// a membership probe AND the local-id read are a single 4-byte load
+// (the previous int64 stamp + separate int32 local_id array paid a
+// second random access per matched edge and twice the probe footprint;
+// the probes are the extraction's cache hot spot). The 16-bit epoch
+// wraps every 65536 resets, at which point the word array is cleared —
+// ~400 KB per 65k subgraphs, amortized noise. Requires local ids (and
+// thus node_cap) < 65536, far above any supported bucket.
 struct VisitSet {
-  std::vector<int64_t> stamp;   // stamp[u] == epoch  <=>  u in set
+  std::vector<uint32_t> word;   // (epoch << 16) | local_id
   std::vector<int32_t> nodes;   // insertion order (global ids)
-  std::vector<int32_t> local_id;  // local_id[u] valid iff stamp[u] == epoch
-  int64_t epoch = 0;
+  uint32_t epoch = 0;
 
   void ensure(int64_t n) {
-    if ((int64_t)stamp.size() < n) {
-      stamp.assign(n, -1);
-      local_id.assign(n, 0);
-    }
+    if ((int64_t)word.size() < n) word.assign(n, 0);
   }
   void reset() {
     ++epoch;
     nodes.clear();
+    if (epoch == 0x10000u) {  // 16-bit wrap: clear and restart at 1
+      epoch = 1;
+      std::fill(word.begin(), word.end(), 0u);
+    }
   }
   // Returns local id, inserting if new.
   inline int32_t insert(int32_t u) {
-    if (stamp[u] != epoch) {
-      stamp[u] = epoch;
-      local_id[u] = (int32_t)nodes.size();
+    const uint32_t w = word[u];
+    if ((w >> 16) != epoch) {
+      const int32_t lid = (int32_t)nodes.size();
+      word[u] = (epoch << 16) | (uint32_t)lid;
       nodes.push_back(u);
+      return lid;
     }
-    return local_id[u];
+    return (int32_t)(w & 0xFFFFu);
   }
-  inline bool contains(int32_t u) const { return stamp[u] == epoch; }
-  inline int32_t id(int32_t u) const { return local_id[u]; }
+  inline bool contains(int32_t u) const { return (word[u] >> 16) == epoch; }
+  inline int32_t id(int32_t u) const { return (int32_t)(word[u] & 0xFFFFu); }
 };
 
 // Accumulate an RWR trace's visited set (budget = visit threshold).
@@ -123,16 +133,26 @@ void rwr_visit(const Csr& g, int64_t seed, double restart_prob, int64_t budget,
   set.insert((int32_t)seed);
   if (g.degree(seed) == 0) return;  // isolated seed: singleton subgraph
   int64_t visits = 0;
+  // One 64-bit draw per hop: high 32 bits pick the neighbor (32-bit
+  // multiply-shift, bias < d/2^32), low 32 bits decide restart — halves
+  // the RNG calls on the walk hot loop. xoshiro256** halves are
+  // independent enough for a sampler.
+  const uint32_t restart_u32 =
+      restart_prob >= 1.0 ? 0xFFFFFFFFu
+                          : (uint32_t)(restart_prob * 4294967296.0);
   while (visits < budget && (int64_t)set.nodes.size() < node_cap) {
     int64_t cur = seed;
     // One trace: hop until restart fires.
     while (true) {
-      if (g.degree(cur) == 0) break;
-      cur = g.random_neighbor(cur, rng);
+      const int64_t d = g.degree(cur);
+      if (d == 0) break;
+      const uint64_t r = rng.next();
+      cur = g.indices[g.indptr[cur] +
+                      (int64_t)(((r >> 32) * (uint64_t)d) >> 32)];
       set.insert((int32_t)cur);
       ++visits;
       if (visits >= budget || (int64_t)set.nodes.size() >= node_cap) break;
-      if (rng.uniform() < restart_prob) break;
+      if ((uint32_t)r < restart_u32) break;
     }
   }
 }
@@ -182,17 +202,19 @@ int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
       __builtin_prefetch(&g.indptr[nxt], 0, 1);
     }
     const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
-    // Two passes per row: prefetch the random stamp[] probes, then test —
+    // Two passes per row: prefetch the random word[] probes, then test —
     // the membership lookups are the extraction's cache-miss hot spot.
+    // Membership + local id ride in ONE uint32 load (VisitSet layout).
     for (int64_t j = row_begin; j < row_end; ++j) {
-      __builtin_prefetch(&set.stamp[g.indices[j]], 0, 1);
+      __builtin_prefetch(&set.word[g.indices[j]], 0, 1);
     }
+    const uint32_t epoch = set.epoch;
     for (int64_t j = row_begin; j < row_end; ++j) {
-      const int32_t v = g.indices[j];
-      if (!set.contains(v)) continue;
+      const uint32_t w = set.word[g.indices[j]];
+      if ((w >> 16) != epoch) continue;
       if (count < e_cap) {
         out_src[count] = lu;
-        out_dst[count] = set.id(v);
+        out_dst[count] = (int32_t)(w & 0xFFFFu);
       }
       ++count;
     }
@@ -252,6 +274,7 @@ void gcc_sample_subgraphs(
     int32_t* out_e, int64_t* out_e_full) {
   const Csr g{indptr, indices, num_nodes};
   if (n_threads < 1) n_threads = 1;
+  if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 
   std::atomic<int64_t> next_seed{0};
   auto worker = [&]() {
@@ -329,6 +352,7 @@ void gcc_sample_wire_pairs(
     int16_t* k_src, int16_t* k_dst, int32_t* k_n, int32_t* k_e) {
   const Csr g{indptr, indices, num_nodes};
   if (n_threads < 1) n_threads = 1;
+  if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 
   std::atomic<int64_t> next{0};
   auto worker = [&]() {

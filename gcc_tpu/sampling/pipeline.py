@@ -245,6 +245,14 @@ class ShardSampler:
         # the default); the generic path handles step_dist walks.
         use_fused = (native.native_available()
                      and self.cfg.step_dist[0] == 1.0)
+        # Routed + fused: append each graph-group's rows to the class
+        # pools straight from the native output buffers — the
+        # q_src[rows] = out[...] writes below copy full (rows, e_max)
+        # int16 grids (~8 MB per super-batch) that routing would only
+        # read back once.
+        route_direct = self.pcfg.emit == "routed" and use_fused
+        if route_direct:
+            self._ensure_pools(bsz, e_max)
         for g_id in np.unique(gidx):
             mask = gidx == g_id
             rows = np.where(mask)[0]
@@ -263,6 +271,9 @@ class ShardSampler:
                     n_threads=self.pcfg.threads_per_worker,
                     out=tuple(b[:s] for b in self._native_buf),
                 )
+                if route_direct:
+                    self._route_append(out)
+                    continue
                 q_src[rows], q_dst[rows] = out[0], out[1]
                 counts[0][rows], counts[1][rows] = out[2], out[3]
                 k_src[rows], k_dst[rows] = out[4], out[5]
@@ -282,8 +293,11 @@ class ShardSampler:
                 counts[2][rows], counts[3][rows] = out_k.n, out_k.e
 
         if self.pcfg.emit == "routed":
-            return self._route(q_src, q_dst, k_src, k_dst, counts, bsz,
-                               e_max)
+            if not route_direct:
+                self._ensure_pools(bsz, e_max)
+                self._route_append((q_src, q_dst, counts[0], counts[1],
+                                    k_src, k_dst, counts[2], counts[3]))
+            return self._route_emit(e_max)
 
         pairs = []
         step = self.pcfg.batch_size
@@ -345,38 +359,50 @@ class ShardSampler:
                 ))
         return pairs
 
-    def _route(self, q_src, q_dst, k_src, k_dst, counts, bsz: int,
-               e_max: int):
-        """Size-bucket routing (emit="routed"): append each sampled pair
-        to its class pool, emit one stacked item per pool that reaches a
-        full super-batch. See PipelineConfig.emit for semantics."""
+    def _ensure_pools(self, bsz: int, e_max: int):
+        if self._pools is not None:
+            return
+        # Capacity: after the emit loop a pool holds < need rows, and
+        # one super-batch appends at most bsz more. flat is sized for
+        # full-e_cap rows so the native append never truncates.
+        need = self.pcfg.batch_size * max(1, self.pcfg.super_batch)
+        cap_rows = need + bsz
+        self._pools = {
+            "small": _RouterPool(cap_rows, cap_rows * e_max),
+            "large": _RouterPool(cap_rows, cap_rows * e_max),
+        }
+
+    def _route_append(self, bufs):
+        """Append sampled rows to their class pools (emit="routed").
+
+        bufs: (q_src, q_dst, q_n, q_e, k_src, k_dst, k_n, k_e) — either
+        one graph-group's native output slices (fused path, zero copies)
+        or the whole super-batch wire buffers (generic fallback)."""
+        q_src, q_dst, qn, qe, k_src, k_dst, kn, ke = bufs
+        small = (np.asarray(qn) <= self.pcfg.n_small) & (
+            np.asarray(kn) <= self.pcfg.n_small
+        )
+        for name, rows in (("small", np.where(small)[0]),
+                           ("large", np.where(~small)[0])):
+            if not rows.size:
+                continue
+            pool = self._pools[name]
+            rows = rows.astype(np.int32)
+            native.pack_rows16(q_src, q_dst, qn, qe, rows, *pool.q)
+            native.pack_rows16(k_src, k_dst, kn, ke, rows, *pool.k)
+
+    def _route_emit(self, e_max: int):
+        """Emit one stacked item per class pool holding a full
+        super-batch. See PipelineConfig.emit for semantics."""
         pcfg = self.pcfg
         step, k_steps = pcfg.batch_size, max(1, pcfg.super_batch)
         need = step * k_steps
-        if self._pools is None:
-            # Capacity: after the emit loop a pool holds < need rows, and
-            # one super-batch appends at most bsz more. flat is sized for
-            # full-e_cap rows so the native append never truncates.
-            cap_rows = need + bsz
-            self._pools = {
-                "small": _RouterPool(cap_rows, cap_rows * e_max),
-                "large": _RouterPool(cap_rows, cap_rows * e_max),
-            }
-        ns = pcfg.n_small
-        small = (counts[0] <= ns) & (counts[2] <= ns)
-        classes = (
-            ("small", np.where(small)[0], ns, pcfg.e_tot_small),
-            ("large", np.where(~small)[0], pcfg.n_max, pcfg.e_tot_large),
-        )
         items = []
-        for name, rows, n_tag, e_tot in classes:
+        for name, n_tag, e_tot in (
+            ("small", pcfg.n_small, pcfg.e_tot_small),
+            ("large", pcfg.n_max, pcfg.e_tot_large),
+        ):
             pool = self._pools[name]
-            if rows.size:
-                rows = rows.astype(np.int32)
-                native.pack_rows16(q_src, q_dst, counts[0], counts[1],
-                                   rows, *pool.q)
-                native.pack_rows16(k_src, k_dst, counts[2], counts[3],
-                                   rows, *pool.k)
             e_tot = e_tot or (step * e_max // 4)
             while pool.rows >= need:
                 qe, qm, qd = pool.pop_side(pool.q, need, step, k_steps,
