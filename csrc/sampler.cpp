@@ -28,6 +28,9 @@
 
 #include <atomic>
 #include <chrono>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -191,8 +194,9 @@ void ns_visit(const Csr& g, int64_t seed, int64_t expand, int64_t hops,
 
 // Extract induced edges among the visit set, relabeled to local ids.
 // Returns total edge count (may exceed cap; only cap edges are written).
-int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
-                      int32_t* out_dst, int64_t e_cap) {
+int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
+                             int32_t* out_src, int32_t* out_dst,
+                             int64_t e_cap) {
   int64_t count = 0;
   const int32_t n = (int32_t)set.nodes.size();
   for (int32_t lu = 0; lu < n; ++lu) {
@@ -220,6 +224,76 @@ int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
     }
   }
   return count;
+}
+
+#if defined(__x86_64__)
+// AVX-512 extraction: per 16-neighbor chunk, one masked load of the ids,
+// one gathered load of the visit words, one compare against the epoch,
+// and mask compress-stores of the hits (vpcompressd) — the exact shape
+// of this loop (gather → filter → compact) with no shuffle tables or
+// branches. Target-attributed so the rest of the file stays baseline
+// ISA; dispatched at runtime via __builtin_cpu_supports.
+__attribute__((target("avx512f")))
+int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
+                             int32_t* out_src, int32_t* out_dst,
+                             int64_t e_cap) {
+  int64_t count = 0;
+  const int32_t n = (int32_t)set.nodes.size();
+  const uint32_t* words = set.word.data();
+  const __m512i epoch_v = _mm512_set1_epi32((int32_t)set.epoch);
+  const __m512i low16 = _mm512_set1_epi32(0xFFFF);
+  for (int32_t lu = 0; lu < n; ++lu) {
+    const int32_t u = set.nodes[lu];
+    if (lu + 1 < n) {
+      __builtin_prefetch(&g.indptr[set.nodes[lu + 1]], 0, 1);
+    }
+    const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
+    const __m512i lu_v = _mm512_set1_epi32(lu);
+    for (int64_t j = row_begin; j < row_end; j += 16) {
+      const int64_t c = row_end - j;
+      const __mmask16 lane =
+          c >= 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << c) - 1u);
+      const __m512i vidx = _mm512_maskz_loadu_epi32(lane, &g.indices[j]);
+      const __m512i w = _mm512_mask_i32gather_epi32(
+          _mm512_setzero_si512(), lane, vidx, (const int*)words, 4);
+      const __mmask16 hit = _mm512_mask_cmpeq_epi32_mask(
+          lane, _mm512_srli_epi32(w, 16), epoch_v);
+      const int hits = __builtin_popcount((unsigned)hit);
+      if (count + hits <= e_cap) {
+        _mm512_mask_compressstoreu_epi32(&out_src[count], hit, lu_v);
+        _mm512_mask_compressstoreu_epi32(&out_dst[count], hit,
+                                         _mm512_and_si512(w, low16));
+      } else {
+        // Cap boundary (rare): finish this chunk scalar.
+        for (int64_t k = j; k < row_end && k < j + 16; ++k) {
+          const uint32_t wk = words[g.indices[k]];
+          if ((wk >> 16) != set.epoch) continue;
+          if (count < e_cap) {
+            out_src[count] = lu;
+            out_dst[count] = (int32_t)(wk & 0xFFFFu);
+          }
+          ++count;
+        }
+        goto next_chunk_done;
+      }
+      count += hits;
+      continue;
+    next_chunk_done:;
+    }
+  }
+  return count;
+}
+#endif  // __x86_64__
+
+int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
+                      int32_t* out_dst, int64_t e_cap) {
+#if defined(__x86_64__)
+  static const bool has_avx512 = __builtin_cpu_supports("avx512f");
+  if (has_avx512) {
+    return induced_edges_avx512(g, set, out_src, out_dst, e_cap);
+  }
+#endif
+  return induced_edges_scalar(g, set, out_src, out_dst, e_cap);
 }
 
 // Cumulative phase times for gcc_sample_wire_pairs (ns) — cheap always-on
