@@ -294,6 +294,16 @@ def _rr_method() -> str:
 
 
 def _rr_sweeps() -> int:
+    """Parallel-order Jacobi sweeps for the RR finish (default 3).
+
+    3 sweeps converge the Ritz VECTORS (per-column |cos| vs the exact
+    finish is statistically identical to 5 sweeps at the canonical
+    config — both limited by the subspace iteration's clustered-spectrum
+    ambiguity, not the finish; measured in docs/PERF.md), while 5 make
+    the finish column-for-column EXACT vs the eigh finish, including the
+    order of near-degenerate Ritz values (the oracle-test setting). The
+    Jacobi chain is op-count-bound, so sweeps trade directly against
+    step time (~45 us/step each at the canonical config)."""
     import os
 
-    return int(os.environ.get("GCC_TPU_PE_RR_SWEEPS", "5"))
+    return int(os.environ.get("GCC_TPU_PE_RR_SWEEPS", "3"))

@@ -21,6 +21,7 @@ import bench  # noqa: E402
 
 def main():
     spc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     import jax
 
     from gcc_tpu.cli import _enable_compilation_cache
@@ -41,11 +42,11 @@ def main():
     pcfg = PipelineConfig(
         batch_size=bench.BATCH_SIZE, n_max=bench.N_MAX, e_max=bench.E_MAX,
         num_samples=10_000, num_workers=0, emit="routed",
-        super_batch=spc, n_small=128,
+        super_batch=spc, n_small=n_small,
     )
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
         sq, sk = next(pipe)
-        assert sq.n_max == 128
+        assert sq.n_max == n_small
         state, enc, tx = create_pretrain_state(
             jax.random.PRNGKey(0), cfg,
             jax.device_put(jax.tree_util.tree_map(lambda x: x[0], sq)),
