@@ -1,46 +1,47 @@
 """Fused Pallas kernel: batched Jacobi eigendecomposition (small n).
 
-STATUS: EXPERIMENTAL — correct (oracle-tested in interpret mode and in
-compiled probes) but NOT yet wired into the production PE path; the
-production Rayleigh-Ritz finish uses the XLA formulation
-(ops/jacobi.py, ~3.5 ms at the canonical batch vs ~4.4 ms for XLA's
-eigh custom call). The measured blockers and the on-chip ablation data
-that shape this kernel are recorded in docs/PERF.md:
-  * a Mosaic fori_loop costs ~14 us/iteration regardless of body
-    (155 rounds -> 2.1 ms floor), so rounds must be unrolled in chunks;
-  * unrolled-round bodies inflate Mosaic's scoped-vmem stack analysis
-    (>40 MB for the full kernel at B = 64) — the fix is chunked unroll
-    with careful value lifetimes, left for the next round;
-  * MXU matmuls inside Pallas default to single-pass bf16 — 155 rounds
-    of rotations accumulate O(1) error unless precision=HIGHEST.
+STATUS: EXPERIMENTAL — correct (oracle-tested in interpret mode AND
+compiled on-chip) but SLOWER than the XLA formulation at production
+shapes, so not wired into the PE path. Measured on v5e at
+(1024, 32, 32), sweeps=3: ~100 ms/call vs ~2.9 ms/dispatch for the XLA
+ops in production. Root cause: Pallas pins the (bpb, n, n) layout with
+n = 32 lanes padded 4x, and the ~30 ops per round each re-traverse the
+whole padded block through VMEM (~45 GB of VMEM traffic per call),
+while XLA fuses the round into a few passes and tiles the batch
+dimension into lanes with no padding. Beating XLA here needs a
+lane-packed layout (4 matrices per 128-lane group), whose column-half
+mixes require a per-group lane swap (partner lane = lane xor 16) — an
+in-kernel shuffle Mosaic only exposes as a one-hot matmul, which costs
+more than it saves. Kept for the structural insight below, which is
+independent of Pallas.
 
-Replaces XLA's `jnp.linalg.eigh` in the Rayleigh-Ritz finish of the PE
-subspace iteration (features/positional.py). The QR-iteration eigh
-custom call costs ~4.4 ms for a (64, 32, 32) batch on v5e — two thirds
-of the whole MoCo train step; the same algorithm expressed as XLA ops
-(ops/jacobi.py) is ~3.5 ms of pure op-dispatch overhead (155 serial
-rounds of ~20 tiny ops).
+Candidate replacement for the XLA-op formulation (ops/jacobi.py) of the
+Rayleigh-Ritz finish in the PE subspace iteration
+(features/positional.py).
 
-Algorithm = ops/jacobi.py (parallel-order cyclic Jacobi, round-robin
-tournament pivots, quadratic convergence in ~5 sweeps for n = 32), with
-TPU-specific structure learned from on-chip ablations (docs/PERF.md):
+Key structural insight (vs the earlier experimental kernel, which
+re-paired via one-hot MXU matmuls at precision=HIGHEST): with the
+UNSORTED round-robin tournament (circle method, pairs (players[i],
+players[n-1-i]) without sorting pair members), the round-to-round
+re-pairing in the half-split layout is ONE CONSTANT position
+permutation, the sweep wrap-around is that same permutation, and the
+layout returns to round-0 form after every n-1 rounds. That constant
+permutation decomposes into 5 contiguous runs, so the in-kernel
+re-pair is 5 static slice moves per axis — no gathers, no dots, no
+per-round permutation tables. (Which member of a pair is "p" does not
+affect the rotation: swapping (p, q) negates tau and s, giving the
+same orthogonal transform.)
 
-  * pairs at (j, j + n/2) — contiguous half-split slices, no strided
-    even/odd access;
-  * ALL state lives in VMEM scratch refs mutated in place: a fori_loop
-    carrying (B, n, n) values costs ~14 us/round in carry copies, and
-    jnp.concatenate of row/col halves blows Mosaic's scoped-vmem stack
-    analysis — slice-assignment into scratch does neither;
-  * one fori_loop over all sweeps*(n-1) rounds: the round-robin
-    re-pairing permutation is a dynamic VMEM ref load perms[r % (n-1)],
-    with the sweep wrap-around folded into entry 0 (the first round is
-    applied before the loop);
-  * permutations ride the MXU as one-hot matmuls with
-    precision=HIGHEST — the MXU's default single-pass bf16 rounding
-    accumulates to O(1) error over 155 rounds;
-  * final ascending/descending eigenvalue sort is gather-free:
-    comparison ranks (index tie-break) build a batched one-hot
-    permutation applied with one batched matmul.
+Kernel structure (ablation-informed, docs/PERF.md):
+  * all state in VMEM scratch refs, mutated with static slice writes
+    (jnp.concatenate in loop bodies blows Mosaic's scoped-vmem stack);
+  * pair pivots via constant one-hot mask reduces (element gathers
+    serialize);
+  * one fori_loop over all sweeps*(n-1) rounds — measured loop floor
+    at this block size is ~0.6 us/round, no unrolling needed;
+  * layout in/out transforms (natural order <-> round-0 layout) and
+    the final eigenvalue sort live OUTSIDE the kernel as plain XLA
+    (one constant gather each).
 
 No VJP — the PE features are stop-gradient inputs.
 """
@@ -55,120 +56,137 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gcc_tpu.ops.jacobi import (
-    _pivot_masks_np,
-    _rotation_cs,
-    half_layout_perms,
-)
+from gcc_tpu.ops.jacobi import _rotation_cs
 
 
 @functools.lru_cache(maxsize=None)
-def _perm_mats(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One-hot permutation matrices for the kernel, TRANSPOSED so they
-    apply to columns (X @ Pᵀ permutes cols like gather x[..., perm]).
+def _unsorted_tournament(n: int):
+    """Circle-method layouts without pair sorting.
 
-    Returns (first, cycle, last):
-      first (n, n)    — natural order → round-0 layout (pre-loop);
-      cycle (n-1,n,n) — entry i applies round (i+1 mod n-1)'s
-                        incremental re-pairing; entry n-2 wraps a sweep
-                        (last layout → natural → round-0 layout);
-      last (n, n)     — round-(n-2) layout → natural order (post-loop).
+    Returns (layout0, moves) where layout0 (n,) is the round-0
+    half-split layout (layout0[j], layout0[j + n/2]) = round-0 pair j,
+    and moves is a tuple of (dst_start, dst_stop, src_start) contiguous
+    runs realizing the CONSTANT incremental position permutation pi
+    (next_layout[j] = layout[pi[j]]); the same permutation also wraps
+    sweep boundaries, and layout returns to layout0 every n-1 rounds.
     """
-    perms = half_layout_perms(n)  # n-1 incremental + final inverse
+    assert n % 2 == 0
+    h = n // 2
+    players = list(range(n))
+    layouts = []
+    for _ in range(n - 1):
+        layouts.append([players[i] for i in range(h)]
+                       + [players[n - 1 - i] for i in range(h)])
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    pis = set()
+    for r in range(n - 1):
+        cur, nxt = layouts[r], layouts[(r + 1) % (n - 1)]
+        inv = {v: k for k, v in enumerate(cur)}
+        pis.add(tuple(inv[nxt[j]] for j in range(n)))
+    assert len(pis) == 1, "unsorted circle method must give a constant perm"
+    pi = np.asarray(next(iter(pis)), np.int32)
+    # pairs coverage sanity
+    seen = {tuple(sorted((lay[j], lay[j + h]))) for lay in layouts
+            for j in range(h)}
+    assert len(seen) == n * (n - 1) // 2
+    moves, start = [], 0
+    for j in range(1, n + 1):
+        if j == n or pi[j] != pi[j - 1] + 1:
+            moves.append((start, j, int(pi[start])))
+            start = j
+    # The kernel slices mixed half-blocks, so every run must sit inside
+    # one half (holds structurally: pi = [0, h, 1..h-2, h+1..n-1, h-1]).
+    for d0, d1, s0 in moves:
+        assert (d1 - d0 == 1) or (s0 + (d1 - d0) <= h) or (s0 >= h), moves
+    return np.asarray(layouts[0], np.int32), tuple(moves)
 
-    def onehot_t(p):
-        m = np.zeros((n, n), np.float32)
-        m[np.arange(n), p] = 1.0
-        return m.T.copy()
 
-    first = onehot_t(perms[0])
-    back = perms[n - 1]
-    wrap = back[perms[0]]  # x[back][perms0] == x[back[perms0]]
-    cycle = np.stack(
-        [onehot_t(perms[r]) for r in range(1, n - 1)] + [onehot_t(wrap)]
-    )
-    return first, cycle, onehot_t(back)
+@functools.lru_cache(maxsize=None)
+def _pivot_masks_half(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n/2, n) one-hot masks over the TOP/BOTTOM row blocks of the
+    half-split layout: left mask 1 at (j, j), right at (j, j + n/2)."""
+    h = n // 2
+    left = np.zeros((h, n), np.float32)
+    right = np.zeros((h, n), np.float32)
+    left[np.arange(h), np.arange(h)] = 1.0
+    right[np.arange(h), np.arange(h) + h] = 1.0
+    return left, right
 
 
-def _jacobi_kernel(t_ref, maskl_ref, maskr_ref, first_ref, cycle_ref,
-                   last_ref, w_ref, v_ref, a_scr, v_scr, *, n: int,
-                   sweeps: int, eps: float):
-    b = t_ref.shape[0]
+def _jacobi_kernel(a0_ref, vt0_ref, maskl_ref, maskr_ref, w_ref, vt_ref,
+                   a_scr, v_scr, *, n: int, sweeps: int, eps: float,
+                   moves):
+    b = a0_ref.shape[0]
     h = n // 2
     mask_l, mask_r = maskl_ref[...], maskr_ref[...]
-    hi = jax.lax.Precision.HIGHEST
+    a_scr[...] = a0_ref[...]
+    v_scr[...] = jnp.broadcast_to(vt0_ref[...], (b, n, n))
 
-    def colmm(x, pt):
-        # X @ Pᵀ == x[..., :, perm]; flat (B*n, n) @ (n, n) MXU matmul
-        return jnp.dot(
-            x.reshape(b * n, n), pt, preferred_element_type=jnp.float32,
-            precision=hi,
-        ).reshape(b, n, n)
-
-    def permute_sym(x, pt):
-        # P X Pᵀ for symmetric X: Y = X Pᵀ, then Yᵀ Pᵀ = (P Y)ᵀ = P Y
-        # (P X Pᵀ is symmetric).
-        return colmm(jnp.swapaxes(colmm(x, pt), 1, 2), pt)
-
-    # init: A in round-0 layout, V = I in round-0 row layout
-    first = first_ref[...]
-    a_scr[...] = permute_sym(t_ref[...], first)
-    v_scr[...] = colmm(
-        jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, n, n)), first
-    )
-
-    def rotate(_r, __):
-        # one Jacobi round in the current half-split layout
+    def round_body(_r, carry):
         a = a_scr[...]
         ae, ao = a[:, :h, :], a[:, h:, :]
         app = jnp.sum(ae * mask_l, axis=-1)
         aqq = jnp.sum(ao * mask_r, axis=-1)
         apq = jnp.sum(ae * mask_r, axis=-1)
         c, s = _rotation_cs(app, aqq, apq, eps)
-        # rows: A <- R~ A, R~ = [[c, -s], [s, c]] per pair
+        # Row mix A <- R~ A (R~ = [[c, -s], [s, c]] per pair), written
+        # straight into the re-paired row positions: row-permute
+        # commutes with the column ops below.
         ce, se = c[:, :, None], s[:, :, None]
-        a_scr[:, :h, :] = ce * ae - se * ao
-        a_scr[:, h:, :] = se * ae + ce * ao
-        # cols: A <- A R~ᵀ (lane-half slices)
+        top = ce * ae - se * ao
+        bot = se * ae + ce * ao
+
+        def rowmix(src):  # row `src` of the mixed matrix, as a value
+            return top[:, src - 0:src + 1, :] if src < h else \
+                bot[:, src - h:src - h + 1, :]
+
+        for d0, d1, s0 in moves:
+            ln = d1 - d0
+            if ln == 1:
+                a_scr[:, d0:d1, :] = rowmix(s0)
+            elif s0 + ln <= h:
+                a_scr[:, d0:d1, :] = top[:, s0:s0 + ln, :]
+            else:
+                a_scr[:, d0:d1, :] = bot[:, s0 - h:s0 - h + ln, :]
+        # Column mix A <- A R~^T, written into re-paired col positions.
         a = a_scr[...]
         al, ar = a[:, :, :h], a[:, :, h:]
         cc, sc = c[:, None, :], s[:, None, :]
-        a_scr[:, :, :h] = cc * al - sc * ar
-        a_scr[:, :, h:] = sc * al + cc * ar
-        # V <- V R~ᵀ (columns track A's basis)
+        newl = cc * al - sc * ar
+        newr = sc * al + cc * ar
+        for d0, d1, s0 in moves:
+            ln = d1 - d0
+            if s0 + ln <= h:
+                a_scr[:, :, d0:d1] = newl[:, :, s0:s0 + ln]
+            elif s0 >= h:
+                a_scr[:, :, d0:d1] = newr[:, :, s0 - h:s0 - h + ln]
+            else:  # single-element runs only ever straddle nothing
+                a_scr[:, :, d0:d1] = newl[:, :, s0:s0 + ln]
+        # V^T rows track A's rows (mix + re-pair).
         v = v_scr[...]
-        vl, vr = v[:, :, :h], v[:, :, h:]
-        v_scr[:, :, :h] = cc * vl - sc * vr
-        v_scr[:, :, h:] = sc * vl + cc * vr
-        return 0
+        ve, vo = v[:, :h, :], v[:, h:, :]
+        vtop = ce * ve - se * vo
+        vbot = se * ve + ce * vo
+        for d0, d1, s0 in moves:
+            ln = d1 - d0
+            if s0 + ln <= h:
+                v_scr[:, d0:d1, :] = vtop[:, s0:s0 + ln, :]
+            else:
+                v_scr[:, d0:d1, :] = vbot[:, s0 - h:s0 - h + ln, :]
+        return carry
 
-    def round_body(r, carry):
-        rotate(r, carry)
-        # re-pair for the next round (entry n-2 wraps the sweep)
-        pt = cycle_ref[jax.lax.rem(r, n - 1)]
-        a_scr[...] = permute_sym(a_scr[...], pt)
-        v_scr[...] = colmm(v_scr[...], pt)
-        return 0
-
-    total = sweeps * (n - 1)
-    # rounds 0..total-2 rotate then re-pair; the final round rotates
-    # then restores natural order with `last`. The eigenvalue sort
-    # lives OUTSIDE the kernel (features/positional.py side): its
-    # (B, n, n) comparison grids and one-hot dots inflate Mosaic's
-    # scoped-vmem stack past the 16 MB limit at useful batch sizes,
-    # and as plain XLA it costs ~30 us.
-    jax.lax.fori_loop(0, total - 1, round_body, 0)
-    rotate(total - 1, 0)
-    last = last_ref[...]
-    a = permute_sym(a_scr[...], last)
-    v = colmm(v_scr[...], last)
-    w_ref[...] = jnp.sum(a * jnp.eye(n, dtype=jnp.float32)[None], axis=-1)
-    v_ref[...] = v
+    jax.lax.fori_loop(0, sweeps * (n - 1), round_body, 0)
+    # sweeps*(n-1) re-pairs cycle the layout back to round-0 form.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (ri == ci).astype(jnp.float32)
+    w_ref[...] = jnp.sum(a_scr[...] * eye[None], axis=-1)
+    vt_ref[...] = v_scr[...]
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "descending",
                                              "interpret"))
-def jacobi_eigh_tpu(t: jax.Array, sweeps: int = 5,
+def jacobi_eigh_tpu(t: jax.Array, sweeps: int = 3,
                     descending: bool = False,
                     interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Batched symmetric eigendecomposition, fused in one Pallas program.
@@ -179,40 +197,33 @@ def jacobi_eigh_tpu(t: jax.Array, sweeps: int = 5,
     """
     b, n, n2 = t.shape
     assert n == n2 and n % 2 == 0
+    layout0, moves = _unsorted_tournament(n)
+    mask_l, mask_r = _pivot_masks_half(n)
+    # Natural order -> round-0 layout, outside the kernel (one constant
+    # gather; the kernel ends back in round-0 layout).
+    a0 = t[:, layout0, :][:, :, layout0]
+    vt0 = jnp.asarray(np.eye(n, dtype=np.float32)[np.asarray(layout0)])
+
     kernel = functools.partial(_jacobi_kernel, n=n, sweeps=sweeps,
-                               eps=1e-12)
-    rounds = sweeps * (n - 1)
-    mask_l, mask_r = _pivot_masks_np(n)
-    first, cycle, last = _perm_mats(n)
-    # Batch blocks per grid step: Mosaic stack-allocates live loop-body
-    # temporaries (~25 values of (bpb, n, n), lane-padded 4x at n = 32).
-    bpb = max(1, min(b, 64))
+                               eps=1e-12, moves=moves)
+    import os
+
+    # Block size: the (bpb, n, n) f32 round-body temporaries are
+    # lane-padded 4x at n = 32, and Mosaic stack-allocates ~8 of them
+    # live — bpb above ~16 overflows the scoped-vmem budget.
+    bpb = max(1, min(b, int(os.environ.get("GCC_TPU_JACOBI_BPB", "16"))))
     while b % bpb:
         bpb -= 1
-    operands = (
-        t,
-        jnp.asarray(mask_l),
-        jnp.asarray(mask_r),
-        jnp.asarray(first),
-        jnp.asarray(cycle),
-        jnp.asarray(last),
-    )
-    h = n // 2
-    w, v = pl.pallas_call(
+    w_l, vt = pl.pallas_call(
         kernel,
         grid=(b // bpb,),
         in_specs=[
             pl.BlockSpec((bpb, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, n), lambda i: (0, 0),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n // 2, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n - 1, n, n), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i: (0, 0),
+            pl.BlockSpec((n // 2, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((bpb, n), lambda i: (i, 0),
@@ -224,14 +235,24 @@ def jacobi_eigh_tpu(t: jax.Array, sweeps: int = 5,
         scratch_shapes=[pltpu.VMEM((bpb, n, n), jnp.float32),
                         pltpu.VMEM((bpb, n, n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=b * rounds * (6 * n * n * n + 14 * n * n),
-            bytes_accessed=b * n * n * 8, transcendentals=b * rounds * n,
+            flops=b * sweeps * (n - 1) * 20 * n * n,
+            bytes_accessed=b * n * n * 12,
+            transcendentals=b * sweeps * (n - 1) * n,
         ),
         interpret=interpret,
-    )(*operands)
-    # Gather-free eigenvalue sort OUTSIDE the kernel (cheap as XLA;
-    # fused into the kernel it blows the scoped-vmem stack): comparison
-    # ranks with index tie-break -> one-hot permutation via batched dots.
+    )(a0, vt0, jnp.asarray(mask_l), jnp.asarray(mask_r))
+    # Undo the round-0 layout (w/vt rows are in layout0 positions):
+    # natural w[layout0[j]] = w_l[j]  ->  scatter as a constant gather of
+    # the inverse permutation.
+    inv = np.empty(n, np.int32)
+    inv[np.asarray(layout0)] = np.arange(n, dtype=np.int32)
+    w = w_l[:, inv]
+    # vt columns were never permuted (they are natural-basis coords);
+    # eigenPAIR index = layout position, so v's COLUMN axis gets the
+    # same relabeling as w.
+    v = jnp.swapaxes(vt, 1, 2)[:, :, inv]
+    # Gather-free eigenvalue sort (identical to ops/jacobi.py): ranks
+    # with index tie-break -> one-hot permutation via batched dots.
     wk = w[:, :, None]
     wj = w[:, None, :]
     i_idx = jnp.arange(n)

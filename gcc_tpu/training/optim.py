@@ -38,4 +38,11 @@ def build_optimizer(
     else:
         raise ValueError(f"unknown optimizer: {cfg.optimizer}")
     parts.append(optax.scale_by_learning_rate(lr_schedule))
-    return optax.chain(*parts)
+    # Flatten the whole chain onto ONE concatenated vector: per-leaf
+    # transforms emit ~2 tiny HLOs per leaf per step (the device trace
+    # showed global-norm clip + Adam + EMA as ~137 us/step of ~275
+    # per-leaf ops — dwarfing the encoder itself, docs/PERF.md); on the
+    # flat vector the same math is ~10 ops. Elementwise updates are
+    # bit-identical; the global-norm reduction changes only fp summation
+    # order. Checkpointed opt_state stores the flat moments.
+    return optax.flatten(optax.chain(*parts))

@@ -152,11 +152,14 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
                 grads, state.opt_state, state.params
             )
             new_params = optax.apply_updates(state.params, updates)
-            # EMA after the optimizer step (reference train.py:430-431).
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: alpha * e + (1.0 - alpha) * p,
-                state.ema_params, new_params,
-            )
+            # EMA after the optimizer step (reference train.py:430-431),
+            # computed on the raveled vector: the per-leaf tree_map costs
+            # ~1 HLO per leaf per step (docs/PERF.md scan-body trace).
+            from jax.flatten_util import ravel_pytree
+
+            flat_e, unravel = ravel_pytree(state.ema_params)
+            flat_p, _ = ravel_pytree(new_params)
+            new_ema = unravel(alpha * flat_e + (1.0 - alpha) * flat_p)
             new_state = state._replace(
                 params=new_params,
                 batch_stats=new_stats,
@@ -201,7 +204,11 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
                 dropout_rng=new_rng,
             )
 
-        grad_norm = optax.global_norm(grads)
+        # Norm of the raveled gradient (same value as optax.global_norm,
+        # one reduce instead of one per leaf).
+        from jax.flatten_util import ravel_pytree
+
+        grad_norm = jnp.linalg.norm(ravel_pytree(grads)[0])
         metrics = {"loss": loss, "prob": prob, "grad_norm": grad_norm}
         return new_state, metrics
 
