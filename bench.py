@@ -147,10 +147,13 @@ def main():
         note("warmup done; measuring")
 
         # The relay host shows multi-second slow phases unrelated to this
-        # process; measure in chunks and report the MEDIAN chunk rate
-        # (steady-state throughput, robust to transient stalls).
-        n_chunks = 8
-        calls_per_chunk = max(1, MEASURE_STEPS // STEPS_PER_CALL // n_chunks)
+        # process, and rates drift upward for the first chunks as it
+        # warms; measure 12 chunks, drop the first 4 (warm-in), report
+        # the MEDIAN of the rest (steady-state throughput, robust to
+        # transient stalls).
+        n_chunks = 12
+        warm_chunks = 4
+        calls_per_chunk = max(1, MEASURE_STEPS // STEPS_PER_CALL // 8)
         steps_per_chunk = calls_per_chunk * STEPS_PER_CALL
         chunks = []  # (edge_messages, seconds) per chunk
         last_loss = 0.0
@@ -166,8 +169,9 @@ def main():
             chunks.append((edge_messages, time.time() - t0))
             note(f"chunk {_c}: {edge_messages / chunks[-1][1] / 1e6:.2f}M "
                  f"edge-msgs/s")
-        chunks.sort(key=lambda ms: ms[0] / ms[1])
-        med_msgs, med_secs = chunks[n_chunks // 2]
+        steady = chunks[warm_chunks:]
+        steady.sort(key=lambda ms: ms[0] / ms[1])
+        med_msgs, med_secs = steady[len(steady) // 2]
 
     value = med_msgs / med_secs
     print(json.dumps({

@@ -60,6 +60,24 @@ def _add_train_flags(p):
     p.add_argument("--degree-embedding-size", type=int, default=16)
     p.add_argument("--max-degree", type=int, default=512)
     p.add_argument("--pe-method", default="subspace", choices=["subspace", "eigh"])
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "sgd", "adagrad"])
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--momentum", type=float, default=0.9, help="sgd only")
+    p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument("--no-norm", action="store_true",
+                   help="skip final L2-normalization of embeddings")
+    p.add_argument("--set2set-iter", type=int, default=6)
+    p.add_argument("--set2set-lstm-layer", type=int, default=3)
+    p.add_argument("--num-copies", type=int, default=1)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--save-freq", type=int, default=1)
+    # Reference flags that are dead code there (never read past argparse)
+    # and intentionally absent here: --readout, --subgraph-size,
+    # --freq-embedding-size, --max-node-freq, --max-edge-freq, --gpu
+    # (device selection is jax's), --tb-freq/--tb-path (use
+    # --tensorboard). See docs/PARITY.md.
     p.add_argument("--aug", default="rwr", choices=["rwr", "ns"])
     p.add_argument("--n-max", type=int, default=512)
     p.add_argument("--e-max", type=int, default=8192)
@@ -93,12 +111,16 @@ def _cfg_from_args(args):
             rw_hops=args.rw_hops, restart_prob=args.restart_prob,
             aug=args.aug,
         ),
+        print_freq=args.print_freq,
+        save_freq=args.save_freq,
         encoder=EncoderConfig(
             model=args.model, num_layers=args.num_layer,
             hidden_size=args.hidden_size, output_size=args.hidden_size,
             positional_embedding_size=args.positional_embedding_size,
             degree_embedding_size=args.degree_embedding_size,
             max_degree=args.max_degree, pe_method=args.pe_method,
+            norm=not args.no_norm, set2set_iter=args.set2set_iter,
+            set2set_lstm_layer=args.set2set_lstm_layer,
         ),
         contrast=ContrastConfig(
             moco=args.moco, nce_k=args.nce_k, nce_t=args.nce_t,
@@ -106,6 +128,8 @@ def _cfg_from_args(args):
         ),
         optim=OptimConfig(
             learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+            optimizer=args.optimizer, beta1=args.beta1, beta2=args.beta2,
+            momentum=args.momentum, clip_norm=args.clip_norm,
         ),
     )
 
@@ -157,7 +181,7 @@ def cmd_pretrain(args):
     pcfg = PipelineConfig(
         batch_size=cfg.batch_size, n_max=args.n_max, e_max=args.e_max,
         num_samples=cfg.num_samples, num_workers=cfg.num_workers,
-        n_small=args.n_small,
+        num_copies=args.num_copies, n_small=args.n_small,
         **({} if args.emit == "auto" else {"emit": args.emit}),
     )
     summary = run_pretrain(cfg, args.corpus, args.out, pcfg,
