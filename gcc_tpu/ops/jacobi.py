@@ -109,6 +109,45 @@ def _rotation_cs(app, aqq, apq, eps: float):
     return c, s
 
 
+@functools.lru_cache(maxsize=None)
+def unsorted_tournament(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Round-robin schedule WITHOUT sorting pair members (circle method
+    verbatim). Key property: in the half-split layout, the round-to-
+    round re-pairing is ONE CONSTANT position permutation pi, the sweep
+    wrap is that same pi, and the layout returns to round-0 form every
+    n-1 rounds — so the per-round re-pair is a handful of static slice
+    moves instead of a per-round gather table. (Pair-member order does
+    not affect the rotation: swapping (p, q) negates tau and s, the
+    same orthogonal transform.)
+
+    Returns (layout0, pi): layout0 (n,) maps half-split position -> node
+    index for round 0; next_layout[j] = layout[pi[j]].
+    """
+    assert n % 2 == 0
+    h = n // 2
+    players = list(range(n))
+    layouts = []
+    for _ in range(n - 1):
+        layouts.append([players[i] for i in range(h)]
+                       + [players[n - 1 - i] for i in range(h)])
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    pis = set()
+    for r in range(n - 1):
+        cur, nxt = layouts[r], layouts[(r + 1) % (n - 1)]
+        inv = {v: k for k, v in enumerate(cur)}
+        pis.add(tuple(inv[nxt[j]] for j in range(n)))
+    assert len(pis) == 1
+    seen = {tuple(sorted((lay[j], lay[j + h]))) for lay in layouts
+            for j in range(h)}
+    assert len(seen) == n * (n - 1) // 2
+    pi = np.asarray(next(iter(pis)), np.int32)
+    # The slice decomposition jacobi_eigh uses assumes this exact form.
+    expect = np.asarray([0, h] + list(range(1, h - 1))
+                        + list(range(h + 1, n)) + [h - 1], np.int32)
+    assert np.array_equal(pi, expect), (pi, expect)
+    return np.asarray(layouts[0], np.int32), pi
+
+
 def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
                 descending: bool = False, sort: bool = True):
     """Eigendecomposition of a batch of symmetric matrices.
@@ -120,49 +159,73 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
     `sweeps` full parallel-order sweeps of n-1 rounds each; 5 sweeps
     reach float32 working precision for n = 32 from a generic start,
     2-3 when a is already near-diagonal (the Rayleigh-Ritz use).
+
+    Uses the UNSORTED tournament schedule (see
+    :func:`unsorted_tournament`): the re-pair between rounds is a
+    constant permutation expressed as static slice concatenations
+    instead of per-round gather tables. Measured wall-neutral vs the
+    gather form on v5e (XLA emits copies for the concats too); kept for
+    the simpler structure — one schedule constant, no per-round
+    permutation list — and as the basis of the fused-kernel variant
+    (ops/jacobi_pallas.py).
     """
     import jax.numpy as jnp
 
     n = a.shape[-1]
     assert n % 2 == 0, "jacobi_eigh requires even n (pad odd sizes)"
     h = n // 2
-    perms = half_layout_perms(n)
+    layout0, _pi = unsorted_tournament(n)
     mask_l, mask_r = (jnp.asarray(m) for m in _pivot_masks_np(n))
-    vt = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
 
-    for _ in range(sweeps):
-        for r in range(n - 1):
-            perm = perms[r]
-            # re-pair rows+cols into the half-split layout
-            a = a[..., perm, :][..., :, perm]
-            vt = vt[..., perm, :]
-            ae, ao = a[..., :h, :], a[..., h:, :]
-            # pivots: app = ae[.., j, j], aqq = ao[.., j, j+h],
-            # apq = ae[.., j, j+h] — masked reduces with constant
-            # one-hots (element gathers serialize on TPU).
-            app = jnp.sum(ae * mask_l, axis=-1)
-            aqq = jnp.sum(ao * mask_r, axis=-1)
-            apq = jnp.sum(ae * mask_r, axis=-1)
-            c, s = _rotation_cs(app, aqq, apq, eps)
-            # rows: A <- R~ A, R~ = [[c, -s], [s, c]] per pair
-            ce, se = c[..., :, None], s[..., :, None]
-            a = jnp.concatenate([ce * ae - se * ao, se * ae + ce * ao],
-                                axis=-2)
-            # cols: A <- A R~^T (same coefficients on the lane halves)
-            al, ar = a[..., :, :h], a[..., :, h:]
-            cc, sc = c[..., None, :], s[..., None, :]
-            a = jnp.concatenate([cc * al - sc * ar, sc * al + cc * ar],
-                                axis=-1)
-            # eigenvector accumulation: V^T <- R~ V^T
-            ve, vo = vt[..., :h, :], vt[..., h:, :]
-            vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo],
-                                 axis=-2)
-        back = perms[n - 1]
-        a = a[..., back, :][..., :, back]
-        vt = vt[..., back, :]
+    # Natural order -> round-0 layout (one gather; rounds then cycle the
+    # layout back to round-0 form every n-1 re-pairs).
+    a = a[..., layout0, :][..., :, layout0]
+    eye0 = np.eye(n, dtype=np.float32)[np.asarray(layout0)]
+    vt = jnp.broadcast_to(jnp.asarray(eye0, a.dtype), a.shape)
 
-    w = jnp.diagonal(a, axis1=-2, axis2=-1)
-    v = jnp.swapaxes(vt, -1, -2)
+    def repair(x, axis):
+        # Constant re-pair pi = [0, h, 1..h-2, h+1..n-1, h-1] as static
+        # slice concatenation (verified against pi in tests).
+        idx = [slice(None)] * x.ndim
+        def take(lo, hi):
+            s = list(idx)
+            s[axis] = slice(lo, hi)
+            return x[tuple(s)]
+        return jnp.concatenate(
+            [take(0, 1), take(h, h + 1), take(1, h - 1),
+             take(h + 1, n), take(h - 1, h)], axis=axis)
+
+    for _ in range(sweeps * (n - 1)):
+        ae, ao = a[..., :h, :], a[..., h:, :]
+        # pivots: app = ae[.., j, j], aqq = ao[.., j, j+h],
+        # apq = ae[.., j, j+h] — masked reduces with constant
+        # one-hots (element gathers serialize on TPU).
+        app = jnp.sum(ae * mask_l, axis=-1)
+        aqq = jnp.sum(ao * mask_r, axis=-1)
+        apq = jnp.sum(ae * mask_r, axis=-1)
+        c, s = _rotation_cs(app, aqq, apq, eps)
+        # rows: A <- R~ A, R~ = [[c, -s], [s, c]] per pair
+        ce, se = c[..., :, None], s[..., :, None]
+        a = jnp.concatenate([ce * ae - se * ao, se * ae + ce * ao],
+                            axis=-2)
+        # cols: A <- A R~^T (same coefficients on the lane halves)
+        al, ar = a[..., :, :h], a[..., :, h:]
+        cc, sc = c[..., None, :], s[..., None, :]
+        a = jnp.concatenate([cc * al - sc * ar, sc * al + cc * ar],
+                            axis=-1)
+        # eigenvector accumulation: V^T <- R~ V^T
+        ve, vo = vt[..., :h, :], vt[..., h:, :]
+        vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo],
+                             axis=-2)
+        # re-pair for the next round (constant slice moves)
+        a = repair(repair(a, a.ndim - 2), a.ndim - 1)
+        vt = repair(vt, vt.ndim - 2)
+
+    # Undo the round-0 layout: eigenpair j sits at layout position j.
+    inv = np.empty(n, np.int32)
+    inv[np.asarray(layout0)] = np.arange(n, dtype=np.int32)
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)[..., inv]
+    v = jnp.swapaxes(vt, -1, -2)[..., :, inv]
     if not sort:
         return w, v
     # Gather-free sort: comparison ranks (index tie-break) build a
