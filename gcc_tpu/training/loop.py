@@ -35,7 +35,7 @@ def run_pretrain(
     resume: str | None = None,
     tensorboard: bool = False,
     profile_dir: str | None = None,
-    steps_per_call: int = 16,
+    steps_per_call: int = 32,
 ) -> dict:
     """Train for cfg.epochs over the corpus; returns final summary dict.
 
@@ -44,10 +44,11 @@ def run_pretrain(
     state on resume, train.py:684-694; we keep it).
 
     steps_per_call: device steps fused into one dispatch via lax.scan
-    (epochs are rounded down to a whole number of calls). 16 measured
-    best at the canonical config with hoisted featurization — the
-    Jacobi PE finish amortizes across the whole dispatch
-    (docs/PERF.md)."""
+    (epochs are rounded down to a whole number of calls). 32 measured
+    best at the canonical config with stacked emission (fewer relay
+    dispatches -> less host-core contention; the hoisted featurize and
+    Jacobi PE finish amortize across the whole dispatch, docs/PERF.md).
+    Small datasets fall back to one epoch per call."""
     from gcc_tpu.utils.profiling import TensorBoardWriter, maybe_profile
 
     store = CorpusStore.open(corpus_path)
