@@ -48,7 +48,7 @@ WARMUP_STEPS = 16
 MEASURE_STEPS = 3840
 # lax.scan-unrolled steps per device dispatch; the training state crosses
 # the dispatch boundary packed into 3 flat arrays (training/packed.py).
-STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "32"))
+STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "64"))
 
 
 def main():

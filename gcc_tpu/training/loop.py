@@ -35,7 +35,7 @@ def run_pretrain(
     resume: str | None = None,
     tensorboard: bool = False,
     profile_dir: str | None = None,
-    steps_per_call: int = 32,
+    steps_per_call: int = 64,
 ) -> dict:
     """Train for cfg.epochs over the corpus; returns final summary dict.
 
@@ -44,11 +44,12 @@ def run_pretrain(
     state on resume, train.py:684-694; we keep it).
 
     steps_per_call: device steps fused into one dispatch via lax.scan
-    (epochs are rounded down to a whole number of calls). 32 measured
-    best at the canonical config with stacked emission (fewer relay
-    dispatches -> less host-core contention; the hoisted featurize and
-    Jacobi PE finish amortize across the whole dispatch, docs/PERF.md).
-    Small datasets fall back to one epoch per call."""
+    (epochs are rounded down to a whole number of calls). Swept
+    16/32/64/128 at the canonical config with stacked emission: 64 is
+    the optimum (20.0/27.7/35.0/29.2M edge-msgs/s in one session) —
+    fewer relay dispatches mean less host-core contention, until the
+    hoisted featurize working set outgrows the gain at 128
+    (docs/PERF.md). Small datasets fall back to one epoch per call."""
     from gcc_tpu.utils.profiling import TensorBoardWriter, maybe_profile
 
     store = CorpusStore.open(corpus_path)
