@@ -344,3 +344,25 @@ def test_routed_emit_partitions_pairs(tmp_path):
                     assert ref_pairs.get(key, 0) > 0, "routed pair not in pairs stream"
                     ref_pairs[key] -= 1
     assert n_small_items > 0, "no small items emitted"
+
+
+def test_run_pretrain_routed_end_to_end(tmp_path):
+    """run_pretrain with the routed input pipeline: mixed-bucket items
+    flow through one step callable (per-bucket jit cache entries), and
+    metrics/checkpoints come out whole."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("routed emit requires the native sampler")
+    corpus = str(tmp_path / "c")
+    synthetic_corpus(corpus, num_graphs=2, nodes_per_graph=300, avg_degree=6)
+    cfg = tiny_cfg(moco=True)
+    pcfg = PipelineConfig(batch_size=8, n_max=32, e_max=512, num_samples=64,
+                          num_workers=0, emit="routed", n_small=16)
+    summary = run_pretrain(cfg, corpus, str(tmp_path / "out"), pcfg,
+                           log_fn=lambda s: None, steps_per_call=4)
+    assert summary["steps"] == 16
+    with open(os.path.join(summary["run_dir"], "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 16
+    assert all(np.isfinite(l["loss"]) for l in lines)
