@@ -87,3 +87,42 @@ def test_config_json_sidecar_roundtrip(tmp_path):
         f.write(cfg.to_json())
     cfg2 = load_config(str(tmp_path))
     assert cfg2 == cfg
+
+
+def test_ingest_edgelists_roundtrip(tmp_path):
+    """The x2dgl-equivalent ingest (reference gcc/utils/x2dgl.py:28-131):
+    dedup + self-loop removal + largest-CC + size-desc ordering, through
+    a corpus that the pipeline can sample from."""
+    import numpy as np
+
+    from gcc_tpu.data.ingest import ingest_edgelists
+    from gcc_tpu.graph.corpus import CorpusStore
+
+    # Graph A: a 5-clique with raw (non-dense) node ids, duplicate edges,
+    # a self loop, and a detached 2-node component that must be dropped.
+    a = tmp_path / "a.edgelist"
+    lines = []
+    ids = [10, 20, 30, 40, 50]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            lines.append(f"{ids[i]} {ids[j]}")
+            lines.append(f"{ids[j]} {ids[i]}")  # duplicate (reverse)
+    lines.append("10 10")      # self loop
+    lines.append("900 901")    # detached component (smaller CC)
+    a.write_text("\n".join(lines) + "\n")
+    # Graph B: a 3-path (smaller than A, so it must sort second).
+    b = tmp_path / "b.edgelist"
+    b.write_text("1 2\n2 3\n")
+
+    ingest_edgelists([str(b), str(a)], str(tmp_path / "corpus"))
+    store = CorpusStore.open(str(tmp_path / "corpus"))
+    assert store.num_graphs == 2
+    assert list(store.graph_sizes) == sorted(store.graph_sizes,
+                                             reverse=True)
+    g0 = store.load(0)  # largest first: the clique's 5-node CC
+    assert g0.num_nodes == 5
+    deg = np.diff(np.asarray(g0.indptr))
+    assert (deg == 4).all()            # clean 5-clique: dedup worked
+    assert g0.num_edges == 20          # 5*4 directed, no self loops
+    g1 = store.load(1)
+    assert g1.num_nodes == 3 and g1.num_edges == 4
