@@ -110,6 +110,37 @@ def run_pretrain(
             cfg, enc, tx, state, n_max=pcfg.n_max
         )
         packed = pack(state)
+        if pcfg.emit == "routed":
+            # Warm-compile the large-bucket cache entry now: its first
+            # real item only assembles after ~1/p_large super-batches,
+            # and a lazy compile through a remote relay can stall
+            # training for minutes mid-run. Zero edges = weight-0
+            # self-loops on node 0 (valid content, exact program); the
+            # state update is one extra step of no-edge batches before
+            # training proper.
+            import dataclasses as _dc2
+
+            import numpy as _np
+
+            sample = bq0
+            if sample.n_max != pcfg.n_max:
+                e_tot_l = pipe.pcfg.e_tot_large or pipe.pcfg.e_tot
+                fake = _dc2.replace(
+                    sample, n_max=pcfg.n_max,
+                    edges=_np.zeros(
+                        (jax.tree_util.tree_leaves(sample.edges)[0].shape[0],
+                         e_tot_l),
+                        _np.asarray(sample.edges).dtype,
+                    ),
+                )
+                # Throwaway state copy: step_fn donates its input, and
+                # the warm step must not advance the real training state.
+                import jax.numpy as _jnp
+
+                scratch = jax.tree_util.tree_map(_jnp.copy, packed)
+                _ = step_fn(scratch, jax.device_put(fake),
+                            jax.device_put(fake))
+                del scratch, _
 
         pending: list[tuple[int, dict]] = []
         loss_meter = AverageMeter()
