@@ -44,7 +44,8 @@ def main():
     pcfg = PipelineConfig(
         batch_size=bench.BATCH_SIZE, n_max=bench.N_MAX, e_max=bench.E_MAX,
         num_samples=10_000, num_workers=0, emit="routed",
-        super_batch=16, n_small=128,
+        super_batch=int(os.environ.get("GCC_TPU_TRACE_SCAN", "16")),
+        n_small=128,
     )
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
         sq, sk = next(pipe)
@@ -58,8 +59,9 @@ def main():
         dq, dk = jax.device_put((sq, sk))
         packed, m = step_fn(packed, dq, dk)  # compile
         _ = float(np.asarray(m["loss"])[-1])
+        n_disp = max(1, 64 // (jax.tree_util.tree_leaves(sq.edges)[0].shape[0] if hasattr(sq, "edges") else 16))
         with jax.profiler.trace(out_dir):
-            for _ in range(4):
+            for _ in range(n_disp):
                 packed, m = step_fn(packed, dq, dk)
             _ = float(np.asarray(m["loss"])[-1])
 
@@ -87,7 +89,7 @@ def main():
         agg[name] = agg.get(name, 0.0) + dur
         total += dur
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:28]
-    steps = 4 * 16
+    steps = 64
     print(f"device total {total/1e3/steps*1000:.0f} us/step over {steps} steps "
           f"({len(agg)} distinct ops)")
     for name, dur in top:
