@@ -32,6 +32,7 @@
 #include <immintrin.h>
 #endif
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -288,7 +289,11 @@ int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
 int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
                       int32_t* out_dst, int64_t e_cap) {
 #if defined(__x86_64__)
-  static const bool has_avx512 = __builtin_cpu_supports("avx512f");
+  // GCC_SAMPLER_NO_AVX512=1 forces the scalar path (tests pin the two
+  // implementations bit-identical on AVX-512 hosts).
+  static const bool has_avx512 = __builtin_cpu_supports("avx512f") &&
+      !(std::getenv("GCC_SAMPLER_NO_AVX512") &&
+        std::getenv("GCC_SAMPLER_NO_AVX512")[0] == '1');
   if (has_avx512) {
     return induced_edges_avx512(g, set, out_src, out_dst, e_cap);
   }

@@ -220,3 +220,51 @@ def test_compact_pack16_matches_python_path():
         np.testing.assert_array_equal(meta[b][0], n[lo:hi])
         np.testing.assert_array_equal(meta[b][1], c_e)
         assert dropped[b] == int(e[lo:hi].astype(np.int64).sum()) - total
+
+
+def test_avx512_extraction_matches_scalar():
+    """The AVX-512 induced-edge extraction must be bit-identical to the
+    scalar fallback (same edges, same order). The dispatch latches on
+    first use, so each variant runs in its own subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    prog = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+from gcc_tpu.graph.csr import CSRGraph
+from gcc_tpu.sampling import native
+if not native.native_available():
+    print("SKIP"); sys.exit(0)
+rng = np.random.default_rng(7)
+g = CSRGraph.from_edges(rng.integers(0, 4000, 30000),
+                        rng.integers(0, 4000, 30000),
+                        num_nodes=4000, symmetrize=True)
+seeds = rng.integers(0, 4000, 64).astype(np.int64)
+budgets = np.full(64, 200, np.int64)
+out = native.sample_wire_pairs(g, seeds, seeds, budgets, budgets, 0.8,
+                               "rwr", 5, 64, 1,
+                               np.arange(64, dtype=np.int64), 256, 1024,
+                               n_threads=1)
+qs, qd, qn, qe, ks, kd, kn, ke = [np.asarray(x) for x in out]
+acc = [qn.tobytes(), qe.tobytes(), kn.tobytes(), ke.tobytes()]
+for s_, d_, e_ in ((qs, qd, qe), (ks, kd, ke)):
+    for r in range(64):
+        acc.append(s_[r, :e_[r]].tobytes())
+        acc.append(d_[r, :e_[r]].tobytes())
+import hashlib
+print(hashlib.sha256(b"".join(acc)).hexdigest())
+"""
+    outs = []
+    for env_val in ("0", "1"):
+        env = dict(os.environ, GCC_SAMPLER_NO_AVX512=env_val,
+                   JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(r.stdout.strip().splitlines()[-1])
+    if "SKIP" in outs:
+        pytest.skip("native sampler unavailable")
+    assert outs[0] == outs[1], "AVX-512 and scalar extraction diverge"
