@@ -8,7 +8,8 @@ Runs the exact bench.py configuration and measures, separately:
      pre-sampled pairs),
   4. the full production path (pipeline draw each call).
 
-Usage: timeout 3000 python scripts/diag_bench.py [steps_per_call]
+Measures the PRODUCTION routed/stacked path (one (K, ...) compact item
+per dispatch). Usage: timeout 3000 python scripts/diag_bench.py [steps_per_call]
 """
 
 from __future__ import annotations
@@ -53,40 +54,35 @@ def main():
     )
     pcfg = PipelineConfig(
         batch_size=bench.BATCH_SIZE, n_max=bench.N_MAX, e_max=bench.E_MAX,
-        num_samples=10_000, num_workers=1, prefetch=8,
-        threads_per_worker=2, mode="thread",
+        num_samples=10_000, num_workers=1, prefetch=4,
+        threads_per_worker=1, mode="thread",
+        emit="routed", super_batch=spc, n_small=128,
     )
 
     def log(msg):
         print(f"[diag] {msg}", flush=True)
 
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
-        # --- 1. raw pipeline rate -------------------------------------
-        _ = [next(pipe) for _ in range(16)]  # warm
-        n_pairs = 128
+        # --- 1. raw pipeline rate (routed stacked items) ----------------
+        _ = [next(pipe) for _ in range(4)]  # warm
+        n_items = 8
         t0 = time.time()
-        pairs = [next(pipe) for _ in range(n_pairs)]
+        items = [next(pipe) for _ in range(n_items)]
         dt = time.time() - t0
-        log(f"pipeline: {1e3 * dt / n_pairs:.2f} ms/pair "
-            f"({n_pairs / dt:.0f} pairs/s)")
+        log(f"pipeline: {1e3 * dt / (n_items * spc):.2f} ms/step host-only "
+            f"({n_items * spc / dt:.0f} steps/s)")
 
-        bq, bk = pairs[0]
+        bq, bk = items[0]
         state, enc, tx = create_pretrain_state(
-            jax.random.PRNGKey(0), cfg, jax.device_put(bq),
+            jax.random.PRNGKey(0), cfg,
+            jax.device_put(jax.tree_util.tree_map(lambda x: x[0], bq)),
             total_steps=100_000, n_max=bench.N_MAX,
         )
         step_fn, pack, _unpack = make_packed_multi_step(
             cfg, enc, tx, state, n_max=bench.N_MAX)
         packed = pack(state)
 
-        # pre-stacked host batches for phases 2-3
-        stacks = []
-        for i in range(0, min(len(pairs), 8 * spc), spc):
-            chunk = pairs[i:i + spc]
-            if len(chunk) < spc:
-                break
-            stacks.append((stack_batches([q for q, _ in chunk]),
-                           stack_batches([k for _, k in chunk])))
+        stacks = items[:8]
 
         # warm compile
         dq, dk = jax.device_put(stacks[0][0]), jax.device_put(stacks[0][1])
@@ -133,9 +129,7 @@ def main():
         # --- 4. full path ----------------------------------------------
         t0 = time.time()
         for _ in range(n_calls):
-            chunk = [next(pipe) for _ in range(spc)]
-            sq = stack_batches([q for q, _ in chunk])
-            sk = stack_batches([k for _, k in chunk])
+            sq, sk = next(pipe)
             packed, metrics = step_fn(packed, jax.device_put(sq),
                                       jax.device_put(sk))
         _ = float(np.asarray(metrics["loss"])[-1])
