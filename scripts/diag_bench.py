@@ -137,6 +137,21 @@ def main():
         log(f"full path: {1e3 * dt / (n_calls * spc):.2f} ms/step "
             f"({1e3 * dt / n_calls:.1f} ms/call)")
 
+        # --- 5. full path, double-buffered device_put -------------------
+        # (Measured: NO win — the relay serializes transfers with
+        # dispatches, so pre-submitting the next item's put just queues
+        # ahead of the step. Kept as a diagnostic.)
+        nxt = jax.device_put(next(pipe))
+        t0 = time.time()
+        for _ in range(n_calls):
+            cur = nxt
+            nxt = jax.device_put(next(pipe))  # submit while device runs
+            packed, metrics = step_fn(packed, *cur)
+        _ = float(np.asarray(metrics["loss"])[-1])
+        dt = time.time() - t0
+        log(f"full path (dbl-buffered put): "
+            f"{1e3 * dt / (n_calls * spc):.2f} ms/step")
+
 
 if __name__ == "__main__":
     main()
