@@ -132,18 +132,26 @@ def main():
             # Force-compile the large-bucket program now with its REAL
             # shapes (large items carry e_tot_large-wide edge buffers and
             # only assemble after ~100 small items; a mid-measure relay
-            # compile would wreck a chunk). Zero edges = weight-0
-            # self-loops on node 0: valid content, exact program.
+            # compile would wreck a chunk). Zero edges + zero n_edges
+            # counts = edge-free graphs: valid content, exact program.
+            # Run it on a scratch state copy so the warm step never
+            # advances the measured training state (loop.py does the same).
             import dataclasses
 
+            import jax.numpy as jnp
+
             e_tot_l = pipe.pcfg.e_tot_large
+            meta0 = np.asarray(sq.meta).copy()
+            meta0[..., 1, :] = 0
             fake = dataclasses.replace(
-                sq, n_max=N_MAX,
+                sq, n_max=N_MAX, meta=meta0,
                 edges=np.zeros((sq.edges.shape[0], e_tot_l), np.uint16),
             )
-            packed, metrics = step_fn(packed, jax.device_put(fake),
-                                      jax.device_put(fake))
+            scratch = jax.tree_util.tree_map(jnp.copy, packed)
+            scratch, metrics = step_fn(scratch, jax.device_put(fake),
+                                       jax.device_put(fake))
             _ = float(np.asarray(metrics["loss"])[-1])
+            del scratch
         note("warmup done; measuring")
 
         # The relay host shows multi-second slow phases unrelated to this

@@ -290,7 +290,12 @@ int64_t induced_edges(const Csr& g, const VisitSet& set, int32_t* out_src,
                       int32_t* out_dst, int64_t e_cap) {
 #if defined(__x86_64__)
   // GCC_SAMPLER_NO_AVX512=1 forces the scalar path (tests pin the two
-  // implementations bit-identical on AVX-512 hosts).
+  // implementations bit-identical on AVX-512 hosts). NOTE: the env var
+  // is latched into this function-local static on the FIRST call of the
+  // process — toggling it later in-process has no effect (tests set it
+  // via subprocess environments for exactly this reason). Re-reading per
+  // call would work but is deliberately avoided: callers may invoke this
+  // per-seed, and getenv takes a libc lock.
   static const bool has_avx512 = __builtin_cpu_supports("avx512f") &&
       !(std::getenv("GCC_SAMPLER_NO_AVX512") &&
         std::getenv("GCC_SAMPLER_NO_AVX512")[0] == '1');

@@ -68,6 +68,12 @@ class ContrastConfig:
     nce_k: int = 16384  # queue size (MoCo) — E2E uses in-batch negatives
     nce_t: float = 0.07
     alpha: float = 0.999  # EMA momentum for the key encoder
+    # Legacy non-softmax NCE normalization (reference
+    # memory_moco.py:45-52). Dead code in the reference — use_softmax is
+    # hardcoded True at its only call site (train.py:628) — so the train
+    # step rejects False with a pointer to the tested math
+    # (contrastive/losses.py legacy_nce_probs).
+    use_softmax: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

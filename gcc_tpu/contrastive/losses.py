@@ -13,6 +13,30 @@ def nce_softmax_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
 
 
+def legacy_nce_probs(
+    logits: jax.Array, n_data: int, z: float | jax.Array = -1.0
+) -> tuple[jax.Array, jax.Array]:
+    """The reference's legacy non-softmax NCE normalization
+    (memory_moco.py:45-52): out = exp(logits_raw / T) / Z, where
+    ``logits`` are the already-temperature-scaled (B, 1+K) MoCo logits
+    (moco_logits output), ``n_data`` is the dataset size (the reference's
+    MemoryMoCo outputSize, train.py:628), and z < 0 means "estimate now"
+    as Z = mean(exp) * n_data (the reference sets it once, from the first
+    batch, and freezes it).
+
+    Returns (probs, z_used). Dead code in the reference (use_softmax is
+    hardcoded True at train.py:628); kept here as the tested equivalent —
+    not wired into the train step, which raises on use_softmax=False.
+    Note the reference then feeds these PROBABILITIES to CrossEntropyLoss
+    as if they were logits (criterions.py NCESoftmaxLoss) — reproduced
+    faithfully by composing with nce_softmax_loss.
+    """
+    out = jnp.exp(logits)  # logits already divided by T upstream
+    z = jnp.asarray(z, jnp.float32)
+    z_used = jnp.where(z < 0, out.mean() * n_data, z)
+    return out / z_used, z_used
+
+
 def e2e_logits(
     feat_q: jax.Array, feat_k: jax.Array, temperature: float
 ) -> jax.Array:

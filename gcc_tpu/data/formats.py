@@ -23,6 +23,10 @@ class NodeDataset:
     graph: CSRGraph
     y: np.ndarray               # (num_nodes, num_classes) multi-hot
     node2id: dict[int, int]
+    # Similarity-search graphs carry a name→node-id map instead of class
+    # labels (reference keeps both in `y`; a separate field keeps the
+    # types honest — y stays an array, names stays a dict).
+    names: dict[str, int] | None = None
 
 
 class Edgelist:
@@ -101,7 +105,8 @@ class SSDataset:
                         node2id[x] = len(node2id)
                     name_dict[author] = node2id[x]
             self.data.append(
-                NodeDataset(graph=graph, y=name_dict, node2id=node2id)
+                NodeDataset(graph=graph, y=np.zeros((0, 0), np.float32),
+                            node2id=node2id, names=name_dict)
             )
 
 

@@ -105,6 +105,19 @@ class PipelineConfig:
     # from per-pair maxima rather than observed batch sums.
     e_tot_small: int | None = None
     e_tot_large: int | None = None
+    # Data-parallel device count. With devices=D > 1 (stacked/routed emit
+    # only), each item carries an explicit device axis: edges
+    # (K, D, e_dev) / meta (K, D, 3, B/D) — step k's graphs split into D
+    # consecutive groups of B/D, each compacted into its own per-device
+    # edge segment. Sharding the D axis (NamedSharding P(None, "data"))
+    # then places every graph's edges on the device that trains on it,
+    # with no host-side transpose (the native compaction already emits
+    # rows in (step, device) order). When devices > 1, e_tot /
+    # e_tot_small / e_tot_large are PER-DEVICE budgets and the startup
+    # probe sizes them from B/D-graph group sums. Sampling content and
+    # order are identical to devices=1 — only the wire layout changes —
+    # so a DP run is step-for-step comparable to a single-device run.
+    devices: int = 1
 
 
 class _RouterPool:
@@ -310,16 +323,34 @@ class ShardSampler:
             # compact_rows + numpy shift/or per batch — ~0.2 ms per
             # batch-pair of pure dispatch overhead).
             n_b = bsz // step
+            dev = max(1, self.pcfg.devices)
+            # devices>1: compact per-device groups of step/dev graphs into
+            # their own e_tot (per-device budget) segments. Rows are in
+            # (step, device) order, so the (n_b, dev, ...) reshape below
+            # is a view — no host copy.
             qe, qm, qd = native.compact_pack16(
-                q_src, q_dst, counts[0], counts[1], n_b, step, e_tot)
+                q_src, q_dst, counts[0], counts[1], n_b * dev, step // dev,
+                e_tot)
             ke, km, kd = native.compact_pack16(
-                k_src, k_dst, counts[2], counts[3], n_b, step, e_tot)
+                k_src, k_dst, counts[2], counts[3], n_b * dev, step // dev,
+                e_tot)
             self._account_drops(int(qd.sum() + kd.sum()),
                                 int((qd > 0).sum() + (kd > 0).sum()), e_tot)
             if self.pcfg.emit == "stacked":
                 # One stacked item per super-batch: the native buffers
                 # are already (n_b, e_tot)/(n_b, 3, step) — ship them
                 # whole, no per-step slicing or consumer re-stack.
+                if dev > 1:
+                    return [(
+                        CompactWireBatch(
+                            edges=qe.reshape(n_b, dev, e_tot),
+                            meta=qm.reshape(n_b, dev, 3, step // dev),
+                            e_max=e_max, id_bits=8),
+                        CompactWireBatch(
+                            edges=ke.reshape(n_b, dev, e_tot),
+                            meta=km.reshape(n_b, dev, 3, step // dev),
+                            e_max=e_max, id_bits=8),
+                    )]
                 return [(
                     CompactWireBatch(edges=qe, meta=qm, e_max=e_max,
                                      id_bits=8),
@@ -396,6 +427,7 @@ class ShardSampler:
         super-batch. See PipelineConfig.emit for semantics."""
         pcfg = self.pcfg
         step, k_steps = pcfg.batch_size, max(1, pcfg.super_batch)
+        dev = max(1, pcfg.devices)
         need = step * k_steps
         items = []
         for name, n_tag, e_tot in (
@@ -403,13 +435,21 @@ class ShardSampler:
             ("large", pcfg.n_max, pcfg.e_tot_large),
         ):
             pool = self._pools[name]
-            e_tot = e_tot or (step * e_max // 4)
+            e_tot = e_tot or (step // dev * e_max // 4)
             while pool.rows >= need:
-                qe, qm, qd = pool.pop_side(pool.q, need, step, k_steps,
-                                           e_tot)
-                ke, km, kd = pool.pop_side(pool.k, need, step, k_steps,
-                                           e_tot)
+                # devices>1: pop (k_steps*dev) per-device groups of
+                # step/dev graphs each; the (k_steps, dev, ...) reshape
+                # is a view (rows are in (step, device) order).
+                qe, qm, qd = pool.pop_side(pool.q, need, step // dev,
+                                           k_steps * dev, e_tot)
+                ke, km, kd = pool.pop_side(pool.k, need, step // dev,
+                                           k_steps * dev, e_tot)
                 self._account_drops(qd + kd, 1 if (qd or kd) else 0, e_tot)
+                if dev > 1:
+                    qe = qe.reshape(k_steps, dev, e_tot)
+                    qm = qm.reshape(k_steps, dev, 3, step // dev)
+                    ke = ke.reshape(k_steps, dev, e_tot)
+                    km = km.reshape(k_steps, dev, 3, step // dev)
                 items.append((
                     CompactWireBatch(edges=qe, meta=qm, e_max=e_max,
                                      id_bits=8, n_max=n_tag),
@@ -461,16 +501,33 @@ def _probe_e_tot(store: CorpusStore, cfg: SamplerConfig,
     ONCE here, before workers start, so every worker ships the same
     shape and the train step compiles exactly once. The 1.5x margin plus
     the host-side truncation backstop (exact counts kept, warning
-    printed) covers epoch-to-epoch variation.
+    printed) covers epoch-to-epoch variation. With devices > 1 the
+    budget is per DEVICE group (batch_size/devices consecutive graphs).
 
     Multi-host runs must pass an explicit ``e_tot``: each host probes
     its own corpus shard, and differing results would give hosts
     mismatched global-batch shapes (parallel/multihost.py)."""
     stats = _probe_pairs(store, cfg, pcfg, seed)
-    max_total = max(
-        max(int(qe.sum()), int(ke.sum())) for _, qe, _, ke in stats
-    )
-    return _round_e_tot(max_total * 1.5, pcfg)
+    return _round_e_tot(_max_group_sum(stats, _group_size(pcfg)) * 1.5, pcfg)
+
+
+def _group_size(pcfg: PipelineConfig) -> int:
+    """Graphs per compact-wire segment: the whole batch at devices=1,
+    a per-device slice of it under data parallelism."""
+    return pcfg.batch_size // max(1, pcfg.devices)
+
+
+def _max_group_sum(stats, group: int) -> int:
+    """Largest edge total over consecutive `group`-pair windows of the
+    probe stats (compaction composes segments exactly that way)."""
+    best = 0
+    for _, qe, _, ke in stats:
+        for arr in (qe, ke):
+            m = arr.size // group * group
+            if m:
+                sums = arr[:m].reshape(-1, group).sum(axis=1)
+                best = max(best, int(sums.max()))
+    return best
 
 
 def _probe_pairs(store: CorpusStore, cfg: SamplerConfig,
@@ -489,24 +546,25 @@ def _probe_pairs(store: CorpusStore, cfg: SamplerConfig,
 
 
 def _round_e_tot(value: float, pcfg: PipelineConfig) -> int:
-    hard_cap = pcfg.batch_size * pcfg.e_max
+    hard_cap = _group_size(pcfg) * pcfg.e_max
     return int(np.clip(int(np.ceil(value / 512)) * 512, 1024, hard_cap))
 
 
 def _probe_class_e_tots(stats, pcfg: PipelineConfig) -> tuple[int, int]:
     """Per-class compact budgets for emit="routed" from probe stats.
 
-    Small class: 1.5x the max probe batch edge total over batches formed
-    of consecutive small pairs (routing composes batches exactly that
-    way). Large class: rare — probes seldom yield a full batch of them,
-    so size from per-pair maxima instead (B · 1.5 · max pair edges)."""
+    Small class: 1.5x the max probe segment edge total over segments
+    formed of consecutive small pairs (routing composes segments exactly
+    that way; a segment is the batch at devices=1, a per-device slice
+    under DP). Large class: rare — probes seldom yield a full segment of
+    them, so size from per-pair maxima instead (B · 1.5 · max pair edges)."""
     qn = np.concatenate([s[0] for s in stats])
     qe = np.concatenate([s[1] for s in stats])
     kn = np.concatenate([s[2] for s in stats])
     ke = np.concatenate([s[3] for s in stats])
     small = (qn <= pcfg.n_small) & (kn <= pcfg.n_small)
     side_max = np.maximum(qe, ke)
-    b = pcfg.batch_size
+    b = _group_size(pcfg)
 
     def class_budget(mask):
         vals = side_max[mask]

@@ -47,5 +47,5 @@ class SimilaritySearch:
         emb_1 = self.model.train(self.data[0].graph)
         emb_2 = self.model.train(self.data[1].graph)
         return evaluate_similarity(
-            emb_1, emb_2, self.data[0].y, self.data[1].y
+            emb_1, emb_2, self.data[0].names, self.data[1].names
         )

@@ -21,6 +21,13 @@ from gcc_tpu.config import TrainConfig
 
 CONFIG_FILE = "config.json"
 
+# Bumped whenever the checkpointed state pytree structure changes (e.g.
+# the optax.flatten move in training/optim.py changed opt_state from a
+# per-leaf tree to flat vectors). Recorded in the config sidecar so a
+# restore against an older layout fails with a readable message instead
+# of an opaque orbax structure mismatch.
+CKPT_FORMAT_VERSION = 2
+
 
 def save_checkpoint(path: str, state: Any, cfg: TrainConfig,
                     step: int | None = None) -> str:
@@ -30,8 +37,12 @@ def save_checkpoint(path: str, state: Any, cfg: TrainConfig,
     target = os.path.abspath(os.path.join(path, name))
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(target, jax.device_get(state), force=True)
+    import json
+
+    sidecar = json.loads(cfg.to_json())
+    sidecar["ckpt_format_version"] = CKPT_FORMAT_VERSION
     with open(os.path.join(path, CONFIG_FILE), "w") as f:
-        f.write(cfg.to_json())
+        f.write(json.dumps(sidecar, indent=2))
     return target
 
 
@@ -39,9 +50,19 @@ def load_checkpoint(target: str, abstract_state: Any | None = None) -> Any:
     """Restore a state pytree. Pass the current state (or a matching
     abstract pytree) to restore with correct dtypes/structure."""
     ckptr = ocp.PyTreeCheckpointer()
-    if abstract_state is not None:
-        return ckptr.restore(os.path.abspath(target), item=abstract_state)
-    return ckptr.restore(os.path.abspath(target))
+    try:
+        if abstract_state is not None:
+            return ckptr.restore(os.path.abspath(target), item=abstract_state)
+        return ckptr.restore(os.path.abspath(target))
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint at {target} does not match the current state "
+            f"structure (current format version {CKPT_FORMAT_VERSION}; "
+            "checkpoints written before the flattened-optimizer change "
+            "have a per-leaf opt_state and cannot be restored — re-run "
+            "pretraining, or check ckpt_format_version in the config.json "
+            f"sidecar). Underlying error: {e}"
+        ) from e
 
 
 def load_config(path: str) -> TrainConfig:

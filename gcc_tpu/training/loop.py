@@ -36,12 +36,21 @@ def run_pretrain(
     tensorboard: bool = False,
     profile_dir: str | None = None,
     steps_per_call: int = 64,
+    dp_devices: int = 1,
 ) -> dict:
     """Train for cfg.epochs over the corpus; returns final summary dict.
 
     resume: checkpoint path — restores the FULL state including
     optimizer moments and queue (the reference silently drops optimizer
     state on resume, train.py:684-694; we keep it).
+
+    dp_devices: data-parallel device count (1 = single chip). The SAME
+    production path runs either way — stacked/routed compact wire,
+    packed state, K-step scan — with the wire gaining a sharded device
+    axis (pipeline.py PipelineConfig.devices) and the replicated packed
+    state's gradients psum'd by GSPMD. Sampling content and order are
+    identical to a single-device run, so losses match step-for-step up
+    to reduction order (tests/test_parallel.py).
 
     steps_per_call: device steps fused into one dispatch via lax.scan
     (epochs are rounded down to a whole number of calls). Swept
@@ -72,11 +81,59 @@ def run_pretrain(
     if (pcfg.emit == "pairs" and pcfg.compact_wire and pcfg.n_max <= 256
             and _native.native_available()):
         pcfg = _dc.replace(pcfg, emit="stacked")
+    if pcfg.emit == "routed":
+        # Routed batches are size-class-homogeneous: learning-neutral for
+        # MoCo (negatives come from the queue) but a silent objective
+        # change for E2E, whose in-batch negatives would become
+        # size-correlated; and routing is host-local, so multi-host DP
+        # would emit mismatched bucket tags at the same step
+        # (sampling/pipeline.py PipelineConfig.emit).
+        if not cfg.contrast.moco:
+            raise ValueError(
+                "emit='routed' with moco=False changes the E2E objective "
+                "(in-batch negatives become size-class-correlated); use "
+                "emit='stacked' or 'pairs' for E2E training."
+            )
+        if jax.process_count() > 1:
+            raise ValueError(
+                "emit='routed' is host-local (bucket tags would diverge "
+                "across hosts); use emit='stacked' for multi-host runs."
+            )
     if pcfg.emit in ("stacked", "routed") and pcfg.super_batch != _k:
         # Item shape must match the K-step dispatch width.
         pcfg = _dc.replace(
             pcfg, super_batch=_k, prefetch=max(2, pcfg.prefetch // _k),
         )
+    mesh = None
+    batch_sharding = None
+    if dp_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gcc_tpu.parallel.mesh import make_mesh
+
+        if pcfg.emit not in ("stacked", "routed"):
+            raise ValueError(
+                "dp_devices > 1 needs the stacked/routed compact wire "
+                "(native sampler, compact_wire, n_max <= 256) — the "
+                "padded pairs path has no shardable device axis."
+            )
+        if cfg.batch_size % dp_devices:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"dp_devices {dp_devices}"
+            )
+        if len(jax.devices()) < dp_devices:
+            raise ValueError(
+                f"dp_devices={dp_devices} but only {len(jax.devices())} "
+                "devices visible"
+            )
+        pcfg = _dc.replace(pcfg, devices=dp_devices)
+        mesh = make_mesh(data=dp_devices,
+                         devices=jax.devices()[:dp_devices])
+        # One sharding covers every wire leaf: edges (K, D, e_dev) and
+        # meta (K, D, 3, b) both carry the device axis at dim 1.
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        repl = NamedSharding(mesh, P())
     run_dir = os.path.join(out_dir, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
     metrics_path = os.path.join(run_dir, "metrics.jsonl")
@@ -90,6 +147,18 @@ def run_pretrain(
         bq0, bk0 = next(pipe)
         init_b = (jax.tree_util.tree_map(lambda x: x[0], bq0)
                   if stacked else bq0)
+        if mesh is not None:
+            # Flatten the (D, ...) device axis of the first step into one
+            # plain single-segment wire batch for parameter init (init
+            # runs once, unsharded).
+            first = init_b
+            init_b = _dc.replace(
+                first,
+                edges=np.asarray(first.edges).reshape(-1),
+                meta=np.ascontiguousarray(
+                    np.asarray(first.meta).transpose(1, 0, 2)
+                ).reshape(3, -1),
+            )
         state, enc, tx = create_pretrain_state(
             jax.random.PRNGKey(cfg.seed), cfg, jax.device_put(init_b),
             total_steps, n_max=pcfg.n_max,
@@ -109,15 +178,21 @@ def run_pretrain(
         step_fn, pack, unpack = make_packed_multi_step(
             cfg, enc, tx, state, n_max=pcfg.n_max
         )
+        if mesh is not None:
+            state = jax.device_put(state, repl)
         packed = pack(state)
+
+        def put_batch(b):
+            return (jax.device_put(b, batch_sharding) if mesh is not None
+                    else jax.device_put(b))
         if pcfg.emit == "routed":
             # Warm-compile the large-bucket cache entry now: its first
             # real item only assembles after ~1/p_large super-batches,
             # and a lazy compile through a remote relay can stall
-            # training for minutes mid-run. Zero edges = weight-0
-            # self-loops on node 0 (valid content, exact program); the
-            # state update is one extra step of no-edge batches before
-            # training proper.
+            # training for minutes mid-run. Zero edges + zero n_edges
+            # counts = genuinely edge-free graphs (valid content, exact
+            # program); the state update is one extra step of no-edge
+            # batches before training proper.
             import dataclasses as _dc2
 
             import numpy as _np
@@ -125,21 +200,20 @@ def run_pretrain(
             sample = bq0
             if sample.n_max != pcfg.n_max:
                 e_tot_l = pipe.pcfg.e_tot_large or pipe.pcfg.e_tot
+                meta0 = _np.asarray(sample.meta).copy()
+                meta0[..., 1, :] = 0  # n_edges=0: truly edge-free graphs
+                edges0 = _np.asarray(sample.edges)
                 fake = _dc2.replace(
-                    sample, n_max=pcfg.n_max,
-                    edges=_np.zeros(
-                        (jax.tree_util.tree_leaves(sample.edges)[0].shape[0],
-                         e_tot_l),
-                        _np.asarray(sample.edges).dtype,
-                    ),
+                    sample, n_max=pcfg.n_max, meta=meta0,
+                    edges=_np.zeros(edges0.shape[:-1] + (e_tot_l,),
+                                    edges0.dtype),
                 )
                 # Throwaway state copy: step_fn donates its input, and
                 # the warm step must not advance the real training state.
                 import jax.numpy as _jnp
 
                 scratch = jax.tree_util.tree_map(_jnp.copy, packed)
-                _ = step_fn(scratch, jax.device_put(fake),
-                            jax.device_put(fake))
+                _ = step_fn(scratch, put_batch(fake), put_batch(fake))
                 del scratch, _
 
         pending: list[tuple[int, dict]] = []
@@ -171,10 +245,22 @@ def run_pretrain(
                         f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})"
                     )
 
+        # Epochs are rounded DOWN to a whole number of K-step dispatches:
+        # steps_per_epoch % k_steps trailing steps per epoch are skipped
+        # (the reference's epoch is exact; ours trades <k_steps samples
+        # per epoch for whole-dispatch scans). Recorded in the summary.
+        calls_per_epoch = max(1, steps_per_epoch // k_steps)
+        skipped_steps = max(0, steps_per_epoch - calls_per_epoch * k_steps)
+        if skipped_steps:
+            log_fn(
+                f"note: epoch rounded down to {calls_per_epoch} dispatches "
+                f"of {k_steps} steps; {skipped_steps} of {steps_per_epoch} "
+                f"steps/epoch skipped"
+            )
         for epoch in range(1, cfg.epochs + 1):
             t_epoch = time.time()
             data_t = 0.0
-            for _ in range(max(1, steps_per_epoch // k_steps)):
+            for _ in range(calls_per_epoch):
                 t0 = time.time()
                 if stacked:
                     # One queue item IS the whole K-step dispatch.
@@ -195,7 +281,7 @@ def run_pretrain(
                     sk = stack_batches([k for _, k in pairs])
                 data_t += time.time() - t0
                 packed, metrics = step_fn(
-                    packed, jax.device_put(sq), jax.device_put(sk)
+                    packed, put_batch(sq), put_batch(sk)
                 )
                 pending.append((global_step, metrics))
                 global_step += k_steps
@@ -218,6 +304,7 @@ def run_pretrain(
                 "epoch": epoch,
                 "avg_loss": loss_meter.avg,
                 "steps": global_step,
+                "steps_per_epoch_skipped": skipped_steps,
                 "wall": time.time() - t_start,
             }
             loss_meter.reset()

@@ -28,7 +28,9 @@ from gcc_tpu.training.pretrain import (
     _hoist_featurize,
     featurize_pair,
     featurize_stacked,
+    featurize_stacked_dp,
     make_step_from_feats,
+    split_feats_qk_dp,
 )
 
 
@@ -88,6 +90,27 @@ def make_packed_multi_step(
 
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
+
+        meta = getattr(batches_q, "meta", None)
+        if meta is not None and meta.ndim == 4:
+            # DP-stacked wire ((K, D, ...) leaves, device axis sharded on
+            # the mesh "data" axis — pipeline.py PipelineConfig.devices).
+            # The packed state is replicated (incl. the 4 MB MoCo queue —
+            # replication keeps the enqueue collective-free; the
+            # row-sharded-queue alternative lives in
+            # parallel/data_parallel.py for large-K setups); GSPMD turns
+            # the batched per-graph work into per-device work and inserts
+            # the grad/BN psums from the input shardings alone.
+            d, b = meta.shape[1], meta.shape[3]
+            feats = featurize_stacked_dp(batches_q, batches_k, pos_size,
+                                         pe_method, n_max)
+
+            def body_dp(st, f):
+                fq, fk = split_feats_qk_dp(f, d, b)
+                return step(st, fq, fk)
+
+            state, metrics = jax.lax.scan(body_dp, state, feats)
+            return pack(state), metrics
 
         if _hoist_featurize():
             # One batched featurize over all K steps — the PE finish is

@@ -115,6 +115,14 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
     moco = cfg.contrast.moco
     temperature = cfg.contrast.nce_t
     alpha = cfg.contrast.alpha
+    if not cfg.contrast.use_softmax:
+        raise NotImplementedError(
+            "use_softmax=False selects the reference's legacy non-softmax "
+            "NCE branch (memory_moco.py:45-52), which is dead code there "
+            "(hardcoded True at train.py:628). The math is implemented and "
+            "tested as gcc_tpu.contrastive.losses.legacy_nce_probs; it is "
+            "not wired into the train step."
+        )
 
     def step_from_feats(state: PretrainState, feats_q, feats_k):
         rng, new_rng = jax.random.split(state.dropout_rng)
@@ -244,6 +252,53 @@ def _featurize_compact_segments(wires_q: CompactWireBatch,
     return jax.tree_util.tree_map(
         lambda x: x.reshape((k_steps, 2 * bsz) + x.shape[1:]), feats
     )
+
+
+def featurize_stacked_dp(wires_q: CompactWireBatch,
+                         wires_k: CompactWireBatch,
+                         pos_size: int, pe_method: str, n_max: int | None):
+    """Featurize a DP-stacked dispatch: (K, D, e_dev) edges / (K, D, 3, b)
+    meta with the device axis D sharded on the mesh "data" axis
+    (sampling/pipeline.py PipelineConfig.devices).
+
+    One vmapped featurize over the K scan steps — same "pay the serial
+    PE chain once" win as :func:`featurize_stacked` — with the shape
+    algebra arranged so GSPMD keeps everything device-local: every
+    reshape merges the sharded D axis only with dims to its MINOR side
+    ((D, 2, e) → (D·2, e), contiguous per-device blocks), never across a
+    major dim, so no reshape forces a cross-device redistribution.
+
+    Returns BatchFeatures with (K, D·2·b, ...) leaves, inner order
+    (device, {query,key}, graph) — split per scan step with
+    :func:`split_feats_qk_dp`."""
+    from gcc_tpu.features.featurize import featurize_compact
+
+    n_max = wires_q.n_max or n_max
+    assert n_max is not None, "n_max required to featurize a wire batch"
+    _, d, _, b = wires_q.meta.shape
+    e_dev = wires_q.edges.shape[-1]
+    edges = jnp.stack([wires_q.edges, wires_k.edges], axis=2)  # (K,D,2,E)
+    meta = jnp.stack([wires_q.meta, wires_k.meta], axis=2)     # (K,D,2,3,b)
+
+    def one(e, m):
+        return featurize_compact(
+            e.reshape(d * 2, e_dev), m.reshape(d * 2, 3, b),
+            n_max, wires_q.id_bits, pos_size, pe_method,
+        )
+
+    return jax.vmap(one)(edges, meta)
+
+
+def split_feats_qk_dp(feats, d: int, b: int):
+    """Split one scan step's (D·2·b, ...) feature leaves into the
+    (D·b, ...) query and key halves (inner order (device, {q,k}, graph);
+    the D-major merges keep per-device blocks contiguous)."""
+    def take(x, v):
+        y = x.reshape((d, 2, b) + x.shape[1:])[:, v]
+        return y.reshape((d * b,) + x.shape[1:])
+
+    return (jax.tree_util.tree_map(lambda x: take(x, 0), feats),
+            jax.tree_util.tree_map(lambda x: take(x, 1), feats))
 
 
 def featurize_pair(batch_q, batch_k, pos_size: int, pe_method: str,

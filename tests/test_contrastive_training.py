@@ -82,6 +82,40 @@ def test_e2e_logits_diagonal_positive():
     )
 
 
+def test_legacy_nce_probs_matches_reference_recipe():
+    """Oracle for the dead legacy branch (reference memory_moco.py:45-52):
+    out = exp(raw/T); Z = out.mean() * n_data on the estimating batch;
+    probs = out / Z; a later batch reuses the frozen Z."""
+    from gcc_tpu.contrastive import legacy_nce_probs
+
+    rng = np.random.default_rng(3)
+    raw = rng.normal(size=(4, 9)).astype(np.float32)
+    # t large enough that exp(raw/t) stays in the normal f32 range (XLA
+    # flushes denormals to zero, which a strict allclose would flag).
+    t, n_data = 0.5, 1234
+    logits = jnp.asarray(raw / t)  # moco_logits output is already /T
+    probs, z = legacy_nce_probs(logits, n_data, z=-1.0)
+    exp = np.exp(raw / t)
+    z_ref = exp.mean() * n_data
+    np.testing.assert_allclose(float(z), z_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), exp / z_ref, rtol=1e-5)
+    # Frozen Z on a subsequent batch.
+    raw2 = rng.normal(size=(4, 9)).astype(np.float32)
+    probs2, z2 = legacy_nce_probs(jnp.asarray(raw2 / t), n_data, z=z)
+    np.testing.assert_allclose(float(z2), z_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs2), np.exp(raw2 / t) / z_ref,
+                               rtol=1e-5)
+
+
+def test_use_softmax_false_raises():
+    from gcc_tpu.models import GraphEncoder
+    from gcc_tpu.training.pretrain import make_step_from_feats
+
+    cfg = TrainConfig(contrast=ContrastConfig(moco=True, use_softmax=False))
+    with pytest.raises(NotImplementedError, match="legacy_nce_probs"):
+        make_step_from_feats(cfg, GraphEncoder(cfg.encoder), None)
+
+
 def test_warmup_linear():
     np.testing.assert_allclose(float(warmup_linear(0.05, 0.1)), 0.5)
     np.testing.assert_allclose(float(warmup_linear(0.1, 0.1)), 1.0)

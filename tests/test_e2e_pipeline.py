@@ -346,6 +346,35 @@ def test_routed_emit_partitions_pairs(tmp_path):
     assert n_small_items > 0, "no small items emitted"
 
 
+def test_routed_emit_rejects_e2e_objective(tmp_path):
+    """emit='routed' composes size-class-homogeneous batches — a silent
+    objective change for E2E (in-batch negatives); run_pretrain refuses."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("routed emit requires the native sampler")
+    corpus = str(tmp_path / "c")
+    synthetic_corpus(corpus, num_graphs=1, nodes_per_graph=200, avg_degree=6)
+    cfg = tiny_cfg(moco=False)
+    pcfg = PipelineConfig(batch_size=8, n_max=32, e_max=512, num_samples=32,
+                          num_workers=0, emit="routed", n_small=16)
+    with pytest.raises(ValueError, match="size-class-correlated"):
+        run_pretrain(cfg, corpus, str(tmp_path / "out"), pcfg,
+                     log_fn=lambda s: None, steps_per_call=4)
+
+
+def test_checkpoint_structure_mismatch_readable_error(tmp_path):
+    """Restoring against a different state structure (e.g. a checkpoint
+    written before the flattened-optimizer change) raises a readable
+    format-version error, not an opaque orbax mismatch."""
+    state = {"a": np.zeros(3, np.float32), "b": {"c": np.ones(2, np.float32)}}
+    path = save_checkpoint(str(tmp_path / "ck"), state, tiny_cfg())
+    other = {"a": np.zeros(3, np.float32),
+             "b": {"d": np.zeros((4, 4), np.float32)}}
+    with pytest.raises(ValueError, match="format version"):
+        load_checkpoint(path, abstract_state=other)
+
+
 def test_run_pretrain_routed_end_to_end(tmp_path):
     """run_pretrain with the routed input pipeline: mixed-bucket items
     flow through one step callable (per-bucket jit cache entries), and

@@ -42,10 +42,10 @@ def test_similarity_search_protocol(tmp_path):
     # Identical embeddings for shared authors -> perfect recall.
     emb_1 = np.eye(3, 8)
     emb_2 = np.zeros((3, 8))
-    emb_2[d2.y["alice"]] = emb_1[d1.y["alice"]]
-    emb_2[d2.y["bob"]] = emb_1[d1.y["bob"]]
-    emb_2[d2.y["dave"]] = np.ones(8)
-    res = evaluate_similarity(emb_1, emb_2, d1.y, d2.y)
+    emb_2[d2.names["alice"]] = emb_1[d1.names["alice"]]
+    emb_2[d2.names["bob"]] = emb_1[d1.names["bob"]]
+    emb_2[d2.names["dave"]] = np.ones(8)
+    res = evaluate_similarity(emb_1, emb_2, d1.names, d2.names)
     assert res["Recall @ 20"] == 1.0
 
 
