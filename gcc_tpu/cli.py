@@ -90,6 +90,11 @@ def _add_train_flags(p):
                         "size-homogeneous batch composition)")
     p.add_argument("--n-small", type=int, default=128,
                    help="small node bucket for --emit routed")
+    p.add_argument("--dp-devices", type=int, default=1,
+                   help="data-parallel device count: shards the batch "
+                        "over the first N devices of a ('data',) mesh "
+                        "with the full production path (stacked/routed "
+                        "wire, packed state); 1 = single chip")
     p.add_argument("--exp", default="")
     p.add_argument("--dataset", default="corpus")
 
@@ -187,7 +192,8 @@ def cmd_pretrain(args):
     summary = run_pretrain(cfg, args.corpus, args.out, pcfg,
                            resume=args.resume or None,
                            tensorboard=args.tensorboard,
-                           profile_dir=args.profile_dir or None)
+                           profile_dir=args.profile_dir or None,
+                           dp_devices=args.dp_devices)
     print(summary)
 
 

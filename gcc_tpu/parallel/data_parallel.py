@@ -53,12 +53,20 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     from gcc_tpu.graph.batch import CompactWireBatch
 
     if isinstance(batch, CompactWireBatch):
-        # The flat edge buffer has no batch dim to shard on; compact wire
-        # is a single-host transfer optimization (sampling/pipeline.py).
+        if batch.meta.ndim == 4:
+            # DP-stacked wire ((K, D, e_dev) edges / (K, D, 3, b) meta,
+            # sampling/pipeline.py PipelineConfig.devices): shard the
+            # explicit device axis. This is the production DP path —
+            # run_pretrain(dp_devices=N) wires it automatically.
+            return jax.device_put(
+                batch, NamedSharding(mesh, P(None, axis))
+            )
+        # A flat single-segment edge buffer has no device axis to shard.
         raise ValueError(
-            "CompactWireBatch cannot be data-sharded: its edge buffer is "
-            "flat. Use WireBatch (PipelineConfig.compact_wire=False) or "
-            "expand to PaddedSubgraphBatch before shard_batch."
+            "this CompactWireBatch has no device axis: emit it with "
+            "PipelineConfig(devices=N) (stacked/routed), use WireBatch "
+            "(compact_wire=False), or expand to PaddedSubgraphBatch "
+            "before shard_batch."
         )
     return jax.device_put(batch, batch_sharding(mesh, axis))
 

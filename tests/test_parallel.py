@@ -277,3 +277,160 @@ def test_giant_gin_matches_dense_path():
         num_layers=cfg.num_layers,
     ))
     np.testing.assert_allclose(ring_out, dense_out, atol=2e-4)
+
+
+def test_run_pretrain_dp_matches_single_device(tmp_path):
+    """The PRODUCTION path under data parallelism: run_pretrain with
+    dp_devices=4 (stacked compact wire with a sharded device axis,
+    packed state, K-step scan) must reproduce the single-device loss
+    trajectory step for step — same sampling content, same math, only
+    reduction order differs (VERDICT r1 item 1)."""
+    import json
+    import os
+
+    from gcc_tpu.config import (
+        ContrastConfig, EncoderConfig, OptimConfig, SamplerConfig,
+        TrainConfig,
+    )
+    from gcc_tpu.graph.corpus import synthetic_corpus
+    from gcc_tpu.sampling import native
+    from gcc_tpu.sampling.pipeline import PipelineConfig
+    from gcc_tpu.training.loop import run_pretrain
+
+    if not native.native_available():
+        pytest.skip("stacked emit requires the native sampler")
+
+    corpus = str(tmp_path / "c")
+    synthetic_corpus(corpus, num_graphs=2, nodes_per_graph=300,
+                     avg_degree=6)
+    cfg = TrainConfig(
+        batch_size=8, epochs=2, num_samples=32, num_workers=0,
+        sampler=SamplerConfig(rw_hops=8),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=32),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+
+    def pcfg(e_tot):
+        # Explicit hard-cap e_tot on both sides: no truncation anywhere,
+        # so single and DP runs ship bit-identical edge content.
+        return PipelineConfig(batch_size=8, n_max=32, e_max=256,
+                              num_samples=32, num_workers=0,
+                              emit="stacked", e_tot=e_tot)
+
+    s1 = run_pretrain(cfg, corpus, str(tmp_path / "o1"), pcfg(8 * 256),
+                      log_fn=lambda s: None, steps_per_call=4)
+    s4 = run_pretrain(cfg, corpus, str(tmp_path / "o4"), pcfg(2 * 256),
+                      log_fn=lambda s: None, steps_per_call=4,
+                      dp_devices=4)
+
+    def losses(summary):
+        with open(os.path.join(summary["run_dir"], "metrics.jsonl")) as f:
+            return np.array([json.loads(l)["loss"] for l in f])
+
+    l1, l4 = losses(s1), losses(s4)
+    assert len(l1) == len(l4) == 8
+    np.testing.assert_allclose(l4, l1, rtol=5e-4, atol=1e-5)
+
+
+def test_run_pretrain_dp_routed(tmp_path):
+    """Routed emission under DP: per-bucket items with a sharded device
+    axis flow through the same step callable and train to finite loss."""
+    import json
+    import os
+
+    from gcc_tpu.config import (
+        ContrastConfig, EncoderConfig, OptimConfig, SamplerConfig,
+        TrainConfig,
+    )
+    from gcc_tpu.graph.corpus import synthetic_corpus
+    from gcc_tpu.sampling import native
+    from gcc_tpu.sampling.pipeline import PipelineConfig
+    from gcc_tpu.training.loop import run_pretrain
+
+    if not native.native_available():
+        pytest.skip("routed emit requires the native sampler")
+
+    corpus = str(tmp_path / "c")
+    synthetic_corpus(corpus, num_graphs=2, nodes_per_graph=300,
+                     avg_degree=6)
+    cfg = TrainConfig(
+        batch_size=8, epochs=1, num_samples=64, num_workers=0,
+        sampler=SamplerConfig(rw_hops=8),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=32),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    pcfg = PipelineConfig(batch_size=8, n_max=32, e_max=256,
+                          num_samples=64, num_workers=0, emit="routed",
+                          n_small=16)
+    summary = run_pretrain(cfg, corpus, str(tmp_path / "out"), pcfg,
+                           log_fn=lambda s: None, steps_per_call=4,
+                           dp_devices=2)
+    assert summary["steps"] == 8
+    with open(os.path.join(summary["run_dir"], "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 8
+    assert all(np.isfinite(l["loss"]) for l in lines)
+
+
+def test_two_process_distributed_dp_step(tmp_path):
+    """REAL multi-process jax.distributed (SURVEY.md §4 "fake multi-host"):
+    two OS processes × 4 virtual CPU devices each initialize_multihost,
+    build the global 8-device mesh, assemble the global batch from
+    host-local halves via host_local_batch_to_global, and take one DP
+    step whose loss matches a single-process reference."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    child = os.path.join(os.path.dirname(__file__), "distributed_child.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), coordinator],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"child failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert all(o["devices"] == 8 and o["local"] == 4 for o in outs)
+    # Both controllers of the multi-process run computed the same step.
+    np.testing.assert_allclose(outs[0]["loss"], outs[1]["loss"], rtol=1e-6)
+
+    # Single-process reference on this process's 8 in-process devices.
+    import importlib
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    child_mod = importlib.import_module("distributed_child")
+    from gcc_tpu.training import make_train_step
+
+    cfg, state, enc, tx, bq, bk = child_mod.build_state_and_step()
+    step = make_train_step(cfg, enc, tx, n_max=16)
+    _, m_ref = step(state, bq, bk)
+    np.testing.assert_allclose(outs[0]["loss"],
+                               float(np.asarray(m_ref["loss"])), rtol=5e-4)
