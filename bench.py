@@ -33,6 +33,12 @@ import numpy as np
 
 REFERENCE_EDGE_MSGS_PER_S = 2.0e6
 
+# Config selection: "moco" (canonical MoCo, batch 32, K=16384 — the
+# default) or "e2e" (the reference's E2E headline config: batch 256,
+# K = 255 in-batch negatives, README.md:71-75 / train.py:396-401).
+# Select via argv[1] or GCC_TPU_BENCH_CONFIG.
+BENCH_CONFIG = os.environ.get("GCC_TPU_BENCH_CONFIG", "moco")
+
 BATCH_SIZE = 32
 # Bucket sized to the measured subgraph distribution at rw_hops=256 /
 # restart 0.8 (p99: 141 nodes / 282 edges; max observed 550/1148): 256
@@ -52,6 +58,20 @@ STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "64"))
 
 
 def main():
+    global BENCH_CONFIG, BATCH_SIZE, NCE_K, MEASURE_STEPS, STEPS_PER_CALL
+    if len(sys.argv) > 1:
+        BENCH_CONFIG = sys.argv[1]
+    moco = BENCH_CONFIG != "e2e"
+    if not moco:
+        # Reference E2E headline: batch 256 ⇒ K=255 in-batch negatives.
+        # Routed emission is invalid for E2E (in-batch negatives would be
+        # size-class-correlated — loop.py enforces the same), so emission
+        # stays "stacked"; the device step is strongly sublinear in batch
+        # size (docs/PERF.md lever 6), measured here.
+        BATCH_SIZE = 256
+        NCE_K = BATCH_SIZE - 1
+        MEASURE_STEPS = 480
+        STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "8"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
@@ -75,7 +95,7 @@ def main():
     cfg = TrainConfig(
         batch_size=BATCH_SIZE,
         sampler=SamplerConfig(rw_hops=RW_HOPS),
-        contrast=ContrastConfig(moco=True, nce_k=NCE_K),
+        contrast=ContrastConfig(moco=moco, nce_k=NCE_K),
     )
     # threads_per_worker=1: per-call thread spawning costs more than it
     # buys on the 2-core relay host (measured 2x slower at 2 threads).
@@ -84,7 +104,7 @@ def main():
     # N²-proportional device work (pipeline.py PipelineConfig.emit;
     # learning-neutrality validated in docs/PERF.md). "stacked" keeps the
     # reference's random batch composition.
-    emit = os.environ.get("GCC_TPU_BENCH_EMIT", "routed")
+    emit = os.environ.get("GCC_TPU_BENCH_EMIT", "routed" if moco else "stacked")
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
         num_samples=10_000, num_workers=1, prefetch=4,
@@ -192,7 +212,8 @@ def main():
             "steps_per_s": round(steps_per_chunk / med_secs, 2),
             "chunk_rates_M": [round(m / s / 1e6, 2) for m, s in chunks],
             "loss": round(last_loss, 4),
-            "config": f"moco k={NCE_K} b={BATCH_SIZE} gin5x64 rw{RW_HOPS} "
+            "config": f"{'moco' if moco else 'e2e'} k={NCE_K} b={BATCH_SIZE} "
+                      f"gin5x64 rw{RW_HOPS} "
                       f"bucket({N_MAX},{E_MAX}) scan{STEPS_PER_CALL}",
         },
     }))

@@ -77,6 +77,7 @@ def laplacian_positional_embedding(
     iters: int = 16,
     orth_every: int = 4,
     power_dtype=jnp.bfloat16,
+    guards: int | None = None,
 ) -> jax.Array:
     """(B, N_max, pos_size) positional embeddings.
 
@@ -90,10 +91,22 @@ def laplacian_positional_embedding(
         iteration which is slow on TPU (~90ms for a (32,256,256) batch);
         use for oracle tests and small buckets.
       * "subspace" — shifted block orthogonal iteration (all batched
-        MXU matmuls + CholeskyQR re-orthonormalization every
+        MXU matmuls + Newton-Schulz re-orthonormalization every
         ``orth_every`` steps), columns ordered by Rayleigh quotient.
         Approximate in degenerate/clustered subspaces — same ambiguity
         the reference's ARPACK has — and the TPU-native hot path.
+
+    guards: extra iterated columns beyond pos_size ("subspace" only).
+        The tail column k converges at rate λ_{k+g+1}/λ_k per step
+        instead of λ_{k+1}/λ_k — and on the MXU the column dim pads to
+        128 lanes anyway, so the iteration cost is nearly unchanged;
+        guards > 0 adds one (k+g, k+g) eigh for the generalized
+        Rayleigh-Ritz (see below). Measured ARPACK-oracle fidelity
+        (median |cos| over gap-separated columns,
+        tests/test_pe_arpack_oracle.py), iters=16: on 150-500-node RWR
+        subgraphs g=0 → 0.83 / g=16 → 0.989; on 34-53-node subgraphs
+        g=0 → 0.85 / g=16 → 0.93. g=32 iterates too deep into the
+        clustered bulk and starts hurting small graphs — keep ≤ 16.
     """
     m = normalized_adjacency(batch, adj)
     n_max = batch.node_mask.shape[1]
@@ -107,8 +120,10 @@ def laplacian_positional_embedding(
         _, vecs = jnp.linalg.eigh(m)
         top = vecs[:, :, -1 : -n_vec - 1 : -1]  # (B, N, n_vec), descending
     elif method == "subspace":
+        if guards is None:
+            guards = _pe_guards()
         top = _subspace_topk(m, batch, n_vec, iters, orth_every,
-                             power_dtype=power_dtype)
+                             power_dtype=power_dtype, guards=guards)
     else:
         raise ValueError(f"unknown PE method: {method}")
     if n_vec < pos_size:
@@ -144,6 +159,7 @@ def _subspace_topk(
     iters: int,
     orth_every: int,
     power_dtype=jnp.bfloat16,
+    guards: int = 16,
 ) -> jax.Array:
     """Top-k (algebraic) eigenvectors of M via shifted orthogonal iteration.
 
@@ -153,10 +169,18 @@ def _subspace_topk(
     :func:`normalized_adjacency`, i.e. shifted eigenvalue -1 — modulus 1
     could beat small real eigenvalues, so the padding block is first
     re-pinned to shifted 0 (diag -1 pre-shift) where it sorts last.
+
+    ``guards`` extra columns are iterated and dropped after Rayleigh-Ritz:
+    kept tail columns then converge against the gap to λ_{k+guards+1}
+    instead of λ_{k+1} — see :func:`laplacian_positional_embedding`.
     """
     import numpy as np
 
     b, n = batch.node_mask.shape
+    k_keep = k
+    # Guarded block width: even (the Jacobi RR pairs columns), ≤ n.
+    k = min(n, k_keep + max(0, guards))
+    k = max(k - (k % 2), k_keep)
     eye = jnp.eye(n, dtype=m.dtype)
     pad = 1.0 - batch.node_mask
     # normalized_adjacency pinned padding at -2; move it to -1 so the
@@ -217,9 +241,10 @@ def _subspace_topk(
     if pallas_mode and n * n * 6 <= (4 << 20):
         # Fused single-kernel iteration (see ops/pe_pallas.py): the XLA
         # op-by-op path is launch-overhead-bound at these sizes. The
-        # kernel's f32 Newton-Schulz finish returns an orthonormal basis,
-        # so Rayleigh-Ritz runs directly — no CholeskyQR pass (cholesky +
-        # triangular_solve cost ~0.4 ms/step unfused at bucket 256).
+        # kernel's f32 Newton-Schulz finish returns a near-orthonormal
+        # basis, so Rayleigh-Ritz runs directly — no CholeskyQR pass
+        # (cholesky + triangular_solve cost ~0.4 ms/step unfused at
+        # bucket 256); guarded bases are whitened exactly below.
         from gcc_tpu.ops.pe_pallas import pe_subspace_iterate
 
         q = pe_subspace_iterate(m_shift, colnorm(q), iters=iters,
@@ -250,6 +275,42 @@ def _subspace_topk(
             ))
         q = orth_chol(q)
 
+    if k > k_keep:
+        # Guarded bases are ill-conditioned in the guard directions (they
+        # sit in the clustered spectral bulk), beyond what the kernel's
+        # fixed-step Löwdin finish can whiten — and Rayleigh-Ritz on a
+        # non-orthonormal basis MIXES eigenvectors. Solve the GENERALIZED
+        # problem (T, S) exactly instead: eigendecompose the small Gram
+        # S = V·s·Vᵀ and whiten with W = V·s^{-1/2}, so (QW)ᵀ(QW) = I
+        # and the plain RR below is exact. One extra (k, k) eigh +
+        # one (N, k) matmul, paid only when guards > 0.
+        s_g = jnp.einsum("bni,bnj->bij", q, q)
+        s_g = 0.5 * (s_g + jnp.swapaxes(s_g, 1, 2))
+        s_g = s_g + 1e-5 * jnp.eye(k, dtype=s_g.dtype)
+        if _rr_method() == "jacobi" and k % 2 == 0:
+            from gcc_tpu.ops.jacobi import jacobi_eigh
+
+            sv, v = jacobi_eigh(s_g, sweeps=_rr_sweeps(), descending=True)
+            sv_max = sv[:, :1]
+        else:
+            sv, v = jnp.linalg.eigh(s_g)
+            sv_max = sv[:, -1:]
+        # RELATIVE floor: directions whose sv is « the graph's top sv are
+        # numerically collapsed (power iteration drove them dependent, or
+        # the graph is smaller than the block) — whitening would amplify
+        # f32 noise into Ritz directions that scramble the top-k ordering
+        # (measured: median |cos| 0.13 on 34-53-node graphs with an
+        # absolute clamp). DROP them instead: their T' rows become 0, so
+        # their Ritz values sink to the bottom of the (shifted, ≥0)
+        # spectrum and never displace genuine columns.
+        floor = 0.1 * sv_max
+        keep = (sv > floor).astype(q.dtype)
+        w = v * (jax.lax.rsqrt(jnp.maximum(sv, floor)) * keep)[:, None, :]
+        q = jax.lax.dot_general(
+            q, w, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
     # Rayleigh-Ritz: rotate the converged subspace onto Ritz vectors —
     # resolves the slow per-column convergence of clustered eigenvalues
     # with one small (k, k) eigendecomposition. Uses m_shift (= M + I
@@ -277,10 +338,22 @@ def _subspace_topk(
     else:
         _, u = jnp.linalg.eigh(t)  # ascending
         u = u[:, :, ::-1]  # descending algebraic
+    # Rotate onto the top-k_keep Ritz vectors only — the guard columns'
+    # Ritz directions are discarded (u sliced before the matmul, so the
+    # rotation itself shrinks to (k, k_keep)).
     return jax.lax.dot_general(
-        q, u, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        q, u[:, :, :k_keep], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+
+
+def _pe_guards() -> int:
+    """Default guard-column count for the subspace PE (GCC_TPU_PE_GUARDS,
+    default 16). See laplacian_positional_embedding for the fidelity and
+    cost trade-off; 0 restores the round-1 guardless path."""
+    import os
+
+    return int(os.environ.get("GCC_TPU_PE_GUARDS", "16"))
 
 
 def _rr_method() -> str:

@@ -15,9 +15,12 @@ Precision: the iteration is FLOP-bound at f32 MXU rate (measured
 roofline). Power/NS matmuls therefore run with bfloat16 INPUTS and f32
 ACCUMULATION (native MXU rate, ~4x f32), followed by `polish` full-f32
 power steps that contract the ~1e-2 bf16 rounding noise out of the
-subspace before the exact f32 CholeskyQR + Rayleigh-Ritz finish. The
-reference's ARPACK path has looser guarantees than this (random v0,
-sign-indeterminate, zero-PE on non-convergence — data_util.py:242-263).
+subspace, and a full-f32 Newton-Schulz finish (8 steps) so the caller's
+Rayleigh-Ritz sees a near-orthonormal basis (see _pe_kernel; guarded
+bases are additionally whitened exactly by the caller's generalized
+RR). The reference's ARPACK path has looser guarantees than this
+(random v0, sign-indeterminate, zero-PE on non-convergence —
+data_util.py:242-263).
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
                ns_steps: int, k: int, graphs_per_block: int,
                power_dtype=jnp.bfloat16, polish: int = 2,
-               final_ns: int = 4):
+               final_ns: int = 8):
     """Basis stored TRANSPOSED as Qᵀ (k, N): with k=32 and N=256+, this
     puts the large dim on the 128-lane axis (Qᵀ@M is (k,N)@(N,N) with
     full lanes) instead of wasting 3/4 of the MXU on a k-lane layout.
@@ -108,9 +111,22 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
     # noise (outside the dominant subspace) injected by the rounds above.
     for _ in range(polish):
         qt = colunit(bmm(qt, m))
-    # Full-f32 Newton-Schulz finish: returns an orthonormal basis so the
-    # caller can run Rayleigh-Ritz directly, with no (slow, unfused)
-    # CholeskyQR pass.
+
+    # Full-f32 Newton-Schulz finish with `final_ns` steps (default 8):
+    # Rayleigh-Ritz silently assumes QᵀQ = I, and the round-1 finish
+    # (ns_steps=4) left ‖QᵀQ−I‖ ≈ 0.1 — the polish power steps
+    # re-correlate columns to σ_min ~ 0.5 and 4 NS steps don't converge
+    # from there — so the RR rotation MIXED eigenvectors (measured
+    # median |cos| vs the ARPACK oracle 0.70 on 150-500-node subgraphs,
+    # tests/test_pe_arpack_oracle.py). 8 steps reach ~1e-4 from σ ≥ 0.3.
+    # NS-on-Q is UNCONDITIONALLY stable (σ' = 1.5σ − 0.5σ³ maps [0, √3]
+    # into [0, 1]; no inverse anywhere) — a Löwdin/Denman-Beavers
+    # S^{-1/2} finish was tried and converges faster per-flop, but being
+    # an inverse iteration it blew up to 1e20 in f32 on ill-conditioned
+    # Grams (rank-deficient graphs, deep guard columns). Bases that NS
+    # leaves unconverged (σ_min « 0.3, only with guard columns) are
+    # re-whitened EXACTLY by the caller's generalized Rayleigh-Ritz
+    # (features/positional.py _subspace_topk).
     if final_ns:
         qt = ns_orth(qt, final_ns, lo=False)
     out_ref[...] = qt
@@ -123,9 +139,13 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
 def pe_subspace_iterate(m: jax.Array, q0: jax.Array, iters: int = 24,
                         orth_every: int = 4, ns_steps: int = 4,
                         power_dtype=jnp.bfloat16,
-                        polish: int = 2, final_ns: int = 4,
+                        polish: int = 2, final_ns: int = 8,
                         interpret: bool = False) -> jax.Array:
     """Run the fused subspace iteration: m (B, N, N), q0 (B, N, k) → (B, N, k).
+
+    Returns a near-orthonormal basis (`final_ns` f32 Newton-Schulz
+    finish steps; exact whitening of tough cases happens in the caller's
+    generalized Rayleigh-Ritz).
 
     No VJP is defined — positional embeddings are input features
     (stop-gradient), never differentiated."""
