@@ -128,7 +128,56 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
         rng, new_rng = jax.random.split(state.dropout_rng)
         rng_q, rng_k = jax.random.split(rng)
 
-        if moco:
+        if moco and _merged_qk():
+            # Merged q/k forward: the query (grad) and key (EMA) encoders
+            # are architecturally identical and mutually independent, but
+            # the TPU runs one op at a time, so two separate applies make
+            # the scan body's serial dependency chain pay the encoder op
+            # count TWICE (the chain is dependency-bound, not FLOP-bound —
+            # docs/PERF.md lever 1). Stack (params, ema_params) on a
+            # leading lane axis and vmap ONE apply over it: same op
+            # count as a single forward, 2x batch per op. The wasted
+            # lane-1 backward (zero cotangent through stop_gradient)
+            # rides the same batched ops for free. Per-lane math is
+            # identical to the unmerged path (test_merged_qk_step).
+            stack2 = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.stack([x, y]), a, b)
+            feats2 = stack2(feats_q, feats_k)
+            stats2 = stack2(state.batch_stats, state.ema_batch_stats)
+            # vmap can't carry typed PRNG keys as plain operands — ship
+            # raw key data and re-wrap inside (no-op for legacy keys).
+            typed = jnp.issubdtype(rng_q.dtype, jax.dtypes.prng_key)
+            unkey = jax.random.key_data if typed else (lambda x: x)
+            rekey = jax.random.wrap_key_data if typed else (lambda x: x)
+            rngs2 = jnp.stack([unkey(rng_q), unkey(rng_k)])
+
+            def loss_fn(params):
+                p2 = stack2(params, state.ema_params)
+
+                def fwd(p, s, f, r):
+                    return enc.apply(
+                        {"params": p, "batch_stats": s}, f, train=True,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": rekey(r)},
+                    )
+
+                emb2, mut2 = jax.vmap(fwd)(p2, stats2, feats2, rngs2)
+                q_emb = emb2[0]
+                k_emb = jax.lax.stop_gradient(emb2[1])
+                logits = moco_logits(state.queue, q_emb, k_emb, temperature)
+                loss = nce_softmax_loss(
+                    logits, jnp.zeros(q_emb.shape[0], jnp.int32)
+                )
+                prob = logits[:, 0].mean()
+                return loss, (mut2["batch_stats"], k_emb, prob)
+
+            (loss, (stats2_new, k_emb, prob)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_stats = jax.tree_util.tree_map(lambda x: x[0], stats2_new)
+            ema_mut = {"batch_stats": jax.tree_util.tree_map(
+                lambda x: x[1], stats2_new)}
+        elif moco:
             # Key encoder: EMA params, BN kept in train mode (batch stats,
             # running buffers updated — reference train.py:360-365), no
             # gradients.
@@ -156,28 +205,6 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
             (loss, (new_stats, prob)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            updates, new_opt_state = tx.update(
-                grads, state.opt_state, state.params
-            )
-            new_params = optax.apply_updates(state.params, updates)
-            # EMA after the optimizer step (reference train.py:430-431),
-            # computed on the raveled vector: the per-leaf tree_map costs
-            # ~1 HLO per leaf per step (docs/PERF.md scan-body trace).
-            from jax.flatten_util import ravel_pytree
-
-            flat_e, unravel = ravel_pytree(state.ema_params)
-            flat_p, _ = ravel_pytree(new_params)
-            new_ema = unravel(alpha * flat_e + (1.0 - alpha) * flat_p)
-            new_state = state._replace(
-                params=new_params,
-                batch_stats=new_stats,
-                ema_params=new_ema,
-                ema_batch_stats=ema_mut["batch_stats"],
-                queue=enqueue(state.queue, k_emb),
-                opt_state=new_opt_state,
-                step=state.step + 1,
-                dropout_rng=new_rng,
-            )
         else:
             # E2E: both views through the same encoder, in-batch negatives.
             def loss_fn(params):
@@ -200,10 +227,31 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
             (loss, (new_stats, prob)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            updates, new_opt_state = tx.update(
-                grads, state.opt_state, state.params
+
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        if moco:
+            # EMA after the optimizer step (reference train.py:430-431),
+            # computed on the raveled vector: the per-leaf tree_map costs
+            # ~1 HLO per leaf per step (docs/PERF.md scan-body trace).
+            from jax.flatten_util import ravel_pytree
+
+            flat_e, unravel = ravel_pytree(state.ema_params)
+            flat_p, _ = ravel_pytree(new_params)
+            new_ema = unravel(alpha * flat_e + (1.0 - alpha) * flat_p)
+            new_state = state._replace(
+                params=new_params,
+                batch_stats=new_stats,
+                ema_params=new_ema,
+                ema_batch_stats=ema_mut["batch_stats"],
+                queue=enqueue(state.queue, k_emb),
+                opt_state=new_opt_state,
+                step=state.step + 1,
+                dropout_rng=new_rng,
             )
-            new_params = optax.apply_updates(state.params, updates)
+        else:
             new_state = state._replace(
                 params=new_params,
                 batch_stats=new_stats,
@@ -419,6 +467,18 @@ def make_train_multi_step(cfg: TrainConfig, enc: GraphEncoder, tx,
         return jax.lax.scan(body, state, (batches_q, batches_k))
 
     return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def _merged_qk() -> bool:
+    """Merge the MoCo query/key forwards into one vmapped apply over
+    stacked (params, ema_params) (default on): halves the scan body's
+    serial encoder op count — the chain is dependency-bound, so 2x-batch
+    ops cost ~the same as 1x (docs/PERF.md lever 1 / session 4). Set
+    GCC_TPU_MERGED_QK=0 for the two-apply round-1 form. Per-lane math is
+    identical (tests/test_training.py test_merged_qk_step_matches)."""
+    import os
+
+    return os.environ.get("GCC_TPU_MERGED_QK", "1") == "1"
 
 
 def _hoist_featurize() -> bool:

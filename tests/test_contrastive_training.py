@@ -187,6 +187,55 @@ def test_moco_updates_ema_and_queue():
     assert max(diffs) > 0
 
 
+def test_merged_qk_step_matches_unmerged(monkeypatch):
+    """The vmapped merged q/k forward (pretrain.py _merged_qk, default on)
+    must be per-lane identical to the round-1 two-apply form: same loss,
+    same updated params / EMA / BN stats / queue after one step."""
+    rng = np.random.default_rng(7)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 300, 1500), rng.integers(0, 300, 1500),
+        num_nodes=300, symmetrize=True,
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        sampler=SamplerConfig(rw_hops=12),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=64),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    qs, ks = sample_contrastive_pairs(
+        g, rng.integers(0, 300, 8), cfg.sampler, rng_seed=0
+    )
+    bq = batch_subgraphs(qs, n_max=32, e_max=256)
+    bk = batch_subgraphs(ks, n_max=32, e_max=256)
+    state, enc, tx = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, bq, total_steps=100
+    )
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    results = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("GCC_TPU_MERGED_QK", flag)
+        # make_train_step donates state — feed each variant its own copy.
+        results[flag] = make_train_step(cfg, enc, tx)(copy(state), bq, bk)
+
+    (s0, m0), (s1, m1) = results["0"], results["1"]
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m0["prob"]), float(m1["prob"]),
+                               rtol=1e-4, atol=1e-6)
+    for name in ("params", "ema_params", "batch_stats", "ema_batch_stats"):
+        a = jax.tree_util.tree_leaves(getattr(s0, name))
+        b = jax.tree_util.tree_leaves(getattr(s1, name))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s0.queue.memory),
+                               np.asarray(s1.queue.memory), atol=1e-5)
+
+
 def test_multi_step_matches_sequential_single_steps():
     from gcc_tpu.training import make_train_multi_step, stack_batches
 
