@@ -149,7 +149,8 @@ def unsorted_tournament(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
-                descending: bool = False, sort: bool = True):
+                descending: bool = False, sort: bool = True,
+                layout: str = "lane"):
     """Eigendecomposition of a batch of symmetric matrices.
 
     a: (..., n, n) symmetric, n even. Returns (w, v) like
@@ -159,6 +160,17 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
     `sweeps` full parallel-order sweeps of n-1 rounds each; 5 sweeps
     reach float32 working precision for n = 32 from a generic start,
     2-3 when a is already near-diagonal (the Rayleigh-Ritz use).
+
+    layout:
+      * "lane" — rounds run on (..., n, n) with n on the 128-lane axis.
+        For the PE sizes (n = 32/48) the minor dim lane-pads 2.7-4x, and
+        the round chain is HBM-bandwidth-bound — most of each pass moves
+        padding.
+      * "bm" (batch-minor) — rounds run transposed as (n, n, B) with the
+        BATCH on the lane axis: zero padding waste at any n (B is
+        thousands in the hoisted featurize), and every slice/concat of
+        the round lands on cheap major dims. Two one-off transposes at
+        entry/exit. Wins iff B ≫ n (tests pin bm ≡ lane numerically).
 
     Uses the UNSORTED tournament schedule (see
     :func:`unsorted_tournament`): the re-pair between rounds is a
@@ -171,6 +183,9 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
     """
     import jax.numpy as jnp
 
+    if layout == "bm":
+        return _jacobi_eigh_bm(a, sweeps, eps, descending, sort)
+    assert layout == "lane", layout
     n = a.shape[-1]
     assert n % 2 == 0, "jacobi_eigh requires even n (pad odd sizes)"
     h = n // 2
@@ -228,16 +243,86 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
     v = jnp.swapaxes(vt, -1, -2)[..., :, inv]
     if not sort:
         return w, v
-    # Gather-free sort: comparison ranks (index tie-break) build a
-    # one-hot permutation applied with one batched matmul — argsort +
-    # take_along_axis lowers to a serialized gather on TPU.
-    wk = w[..., :, None]   # w_k down rows
-    wj = w[..., None, :]   # w_j across cols
+    return _sort_eig(w, v, n, descending)
+
+
+def _jacobi_eigh_bm(a, sweeps: int, eps: float, descending: bool,
+                    sort: bool):
+    """Batch-minor rounds: see :func:`jacobi_eigh` (layout="bm").
+
+    Internally flattens the batch to one trailing axis: a (B, n, n) →
+    rounds on (n, n, B) → results transposed back. The sort (one-hot
+    permutation matmul) runs batch-major on the MXU as in the lane
+    layout."""
+    import jax.numpy as jnp
+
+    n = a.shape[-1]
+    assert n % 2 == 0, "jacobi_eigh requires even n (pad odd sizes)"
+    h = n // 2
+    batch_shape = a.shape[:-2]
+    layout0, _pi = unsorted_tournament(n)
+    mask_l, mask_r = (jnp.asarray(m)[:, :, None] for m in _pivot_masks_np(n))
+
+    a = a.reshape((-1,) + a.shape[-2:])
+    a = jnp.transpose(a, (1, 2, 0))  # (n, n, B)
+    a = a[layout0][:, layout0]
+    eye0 = np.eye(n, dtype=np.float32)[np.asarray(layout0)]
+    vt = jnp.broadcast_to(jnp.asarray(eye0, a.dtype)[:, :, None], a.shape)
+
+    def repair(x, axis):
+        def take(lo, hi):
+            s = [slice(None)] * x.ndim
+            s[axis] = slice(lo, hi)
+            return x[tuple(s)]
+        return jnp.concatenate(
+            [take(0, 1), take(h, h + 1), take(1, h - 1),
+             take(h + 1, n), take(h - 1, h)], axis=axis)
+
+    for _ in range(sweeps * (n - 1)):
+        ae, ao = a[:h], a[h:]
+        app = jnp.sum(ae * mask_l, axis=1)   # (h, B)
+        aqq = jnp.sum(ao * mask_r, axis=1)
+        apq = jnp.sum(ae * mask_r, axis=1)
+        c, s = _rotation_cs(app, aqq, apq, eps)
+        ce, se = c[:, None, :], s[:, None, :]
+        a = jnp.concatenate([ce * ae - se * ao, se * ae + ce * ao], axis=0)
+        al, ar = a[:, :h], a[:, h:]
+        cc, sc = c[None, :, :], s[None, :, :]
+        a = jnp.concatenate([cc * al - sc * ar, sc * al + cc * ar], axis=1)
+        ve, vo = vt[:h], vt[h:]
+        vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo], axis=0)
+        a = repair(repair(a, 0), 1)
+        vt = repair(vt, 0)
+
+    inv = np.empty(n, np.int32)
+    inv[np.asarray(layout0)] = np.arange(n, dtype=np.int32)
+    # Diagonal via a masked reduce (element gathers serialize on TPU),
+    # then back to batch-major for the inverse-layout gather + sort.
+    eye_m = jnp.asarray(np.eye(n, dtype=np.float32), a.dtype)[:, :, None]
+    w = jnp.sum(a * eye_m, axis=1)               # (n, B), layout order
+    w = jnp.transpose(w, (1, 0))[..., inv]       # (B, n)
+    v = jnp.transpose(vt, (2, 1, 0))[..., :, inv]  # (B, n, n) cols=eigvecs
+    w = w.reshape(batch_shape + (n,))
+    v = v.reshape(batch_shape + (n, n))
+    if not sort:
+        return w, v
+    return _sort_eig(w, v, n, descending)
+
+
+def _sort_eig(w, v, n: int, descending: bool):
+    """Gather-free eigenpair sort (shared by both layouts): comparison
+    ranks (index tie-break) build a one-hot permutation applied with one
+    batched matmul — argsort + take_along_axis lowers to a serialized
+    gather on TPU."""
+    import jax.numpy as jnp
+
+    wk = w[..., :, None]
+    wj = w[..., None, :]
     if descending:
         less = (wk > wj) | ((wk == wj) & _tri(n, w.dtype))
     else:
         less = (wk < wj) | ((wk == wj) & _tri(n, w.dtype))
-    rank = jnp.sum(less.astype(w.dtype), axis=-2)  # (..., n)
+    rank = jnp.sum(less.astype(w.dtype), axis=-2)
     sel = (rank[..., :, None] ==
            jnp.arange(n, dtype=w.dtype)[None, :]).astype(w.dtype)
     v = jnp.einsum("...ij,...jr->...ir", v, sel)
