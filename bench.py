@@ -61,6 +61,9 @@ def main():
     global BENCH_CONFIG, BATCH_SIZE, NCE_K, MEASURE_STEPS, STEPS_PER_CALL
     if len(sys.argv) > 1:
         BENCH_CONFIG = sys.argv[1]
+    if BENCH_CONFIG not in ("moco", "e2e"):
+        sys.exit(f"unknown bench config {BENCH_CONFIG!r}: "
+                 f"expected 'moco' or 'e2e'")
     moco = BENCH_CONFIG != "e2e"
     if not moco:
         # Reference E2E headline: batch 256 ⇒ K=255 in-batch negatives.

@@ -290,7 +290,8 @@ def _subspace_topk(
         if _rr_method() == "jacobi" and k % 2 == 0:
             from gcc_tpu.ops.jacobi import jacobi_eigh
 
-            sv, v = jacobi_eigh(s_g, sweeps=_rr_sweeps(), descending=True)
+            sv, v = jacobi_eigh(s_g, sweeps=_rr_sweeps(), descending=True,
+                                layout=_jacobi_layout())
             sv_max = sv[:, :1]
         else:
             sv, v = jnp.linalg.eigh(s_g)
@@ -334,7 +335,8 @@ def _subspace_topk(
         # tests/test_ops_features.py pins equality at the default).
         from gcc_tpu.ops.jacobi import jacobi_eigh
 
-        _, u = jacobi_eigh(t, sweeps=_rr_sweeps(), descending=True)
+        _, u = jacobi_eigh(t, sweeps=_rr_sweeps(), descending=True,
+                           layout=_jacobi_layout())
     else:
         _, u = jnp.linalg.eigh(t)  # ascending
         u = u[:, :, ::-1]  # descending algebraic
@@ -364,6 +366,19 @@ def _rr_method() -> str:
     import os
 
     return os.environ.get("GCC_TPU_PE_RR", "jacobi")
+
+
+def _jacobi_layout() -> str:
+    """Memory layout for the RR Jacobi finishes: "lane" (default,
+    (..., n, n) with n on the lane axis) or "bm" (batch-minor: rounds
+    run as (n, n, B) with the batch on the lane axis — zero lane-pad
+    waste when B >> n, as in the hoisted featurize where B ≈ 2048 and
+    n = 32-48). Numerically identical (tests/test_ops_features.py
+    test_jacobi_eigh_bm_equals_lane); select via GCC_TPU_JACOBI_LAYOUT
+    for on-chip A/B."""
+    import os
+
+    return os.environ.get("GCC_TPU_JACOBI_LAYOUT", "lane")
 
 
 def _rr_sweeps() -> int:

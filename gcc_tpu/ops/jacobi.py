@@ -170,7 +170,10 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
         BATCH on the lane axis: zero padding waste at any n (B is
         thousands in the hoisted featurize), and every slice/concat of
         the round lands on cheap major dims. Two one-off transposes at
-        entry/exit. Wins iff B ≫ n (tests pin bm ≡ lane numerically).
+        entry/exit. Wins iff B ≫ n. Selected in the PE Rayleigh-Ritz
+        finishes via GCC_TPU_JACOBI_LAYOUT (features/positional.py);
+        bm ≡ lane pinned by tests/test_ops_features.py
+        test_jacobi_eigh_bm_equals_lane.
 
     Uses the UNSORTED tournament schedule (see
     :func:`unsorted_tournament`): the re-pair between rounds is a

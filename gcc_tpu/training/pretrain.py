@@ -475,7 +475,8 @@ def _merged_qk() -> bool:
     serial encoder op count — the chain is dependency-bound, so 2x-batch
     ops cost ~the same as 1x (docs/PERF.md lever 1 / session 4). Set
     GCC_TPU_MERGED_QK=0 for the two-apply round-1 form. Per-lane math is
-    identical (tests/test_training.py test_merged_qk_step_matches)."""
+    identical (tests/test_contrastive_training.py
+    test_merged_qk_step_matches_unmerged)."""
     import os
 
     return os.environ.get("GCC_TPU_MERGED_QK", "1") == "1"

@@ -358,17 +358,21 @@ def test_pallas_production_config_interpret_vs_eigh(monkeypatch):
     assert np.abs(approx[1, :, 3:]).max() == 0  # masked columns stay zero
 
 
-def test_jacobi_eigh_matches_numpy_oracle():
+@pytest.mark.parametrize("layout", ["lane", "bm"])
+def test_jacobi_eigh_matches_numpy_oracle(layout):
     """Parallel-order Jacobi (ops/jacobi.py) vs numpy.linalg.eigh on
     generic symmetric batches: eigenvalues, reconstruction, and
-    orthonormality at the default 5 sweeps."""
+    orthonormality at the default 5 sweeps — for both the lane layout
+    and the batch-minor ("bm") layout used when B >> n."""
     from gcc_tpu.ops.jacobi import jacobi_eigh
 
     rng = np.random.default_rng(3)
     for n in (8, 32):
         a = rng.standard_normal((16, n, n)).astype(np.float32)
         a = (a + a.transpose(0, 2, 1)) / 2
-        w, v = jax.jit(lambda x: jacobi_eigh(x, sweeps=5))(jnp.asarray(a))
+        w, v = jax.jit(
+            lambda x: jacobi_eigh(x, sweeps=5, layout=layout)
+        )(jnp.asarray(a))
         w, v = np.asarray(w), np.asarray(v)
         wr = np.linalg.eigh(a)[0]
         np.testing.assert_allclose(w, wr, atol=5e-4)
@@ -380,9 +384,35 @@ def test_jacobi_eigh_matches_numpy_oracle():
         )
         # descending order option
         wd, vd = jax.jit(
-            lambda x: jacobi_eigh(x, sweeps=5, descending=True)
+            lambda x: jacobi_eigh(x, sweeps=5, descending=True,
+                                  layout=layout)
         )(jnp.asarray(a))
         np.testing.assert_allclose(np.asarray(wd), wr[:, ::-1], atol=5e-4)
+
+
+def test_jacobi_eigh_bm_equals_lane():
+    """bm and lane layouts are the same math in different memory
+    layouts: identical eigenvalues and eigenvectors up to column sign
+    at PE-realistic shapes (B >> n, including a 48-wide guarded Gram)."""
+    from gcc_tpu.ops.jacobi import jacobi_eigh
+
+    rng = np.random.default_rng(7)
+    for b, n in ((64, 32), (48, 48)):
+        a = rng.standard_normal((b, n, n)).astype(np.float32)
+        a = (a + a.transpose(0, 2, 1)) / 2
+        wl, vl = jax.jit(
+            lambda x: jacobi_eigh(x, sweeps=5, descending=True)
+        )(jnp.asarray(a))
+        wb, vb = jax.jit(
+            lambda x: jacobi_eigh(x, sweeps=5, descending=True,
+                                  layout="bm")
+        )(jnp.asarray(a))
+        np.testing.assert_allclose(np.asarray(wb), np.asarray(wl),
+                                   atol=2e-4)
+        # Eigenvectors match up to per-column sign.
+        dot = np.einsum("bij,bik->bjk", np.asarray(vl), np.asarray(vb))
+        diag = np.abs(np.diagonal(dot, axis1=1, axis2=2))
+        np.testing.assert_allclose(diag, 1.0, atol=1e-3)
 
 
 def test_jacobi_pallas_interpret_matches_numpy():

@@ -79,6 +79,80 @@ def test_edgelist_hindex_binarization(tmp_path):
     np.testing.assert_array_equal(y.argmax(1), [0, 0, 1, 1])
 
 
+def _write_noisy_coauthor_pair(panther_root, seed=1, n_shared=80,
+                               n_extra=24, keep=0.85):
+    """Fabricate a NON-trivial similarity-search pair: two conference
+    graphs sampled as noisy views of one underlying co-author graph
+    (reference protocol: gcc/tasks/similarity_search.py:41-69 ranks
+    across two DIFFERENT graphs). Shared authors keep their structural
+    role across views but 15% of edges differ per view and each view
+    carries 24 graph-specific authors, so a structural embedder ranks
+    well above chance yet below 1.0 — unlike an identical-graphs pair,
+    this actually exercises the ranking."""
+    rng = np.random.default_rng(seed)
+    edges = set()
+    deg = np.zeros(n_shared)
+    # Preferential-attachment base: heterogeneous degrees = distinct
+    # structural roles for the embedder to match on.
+    for v in range(1, n_shared):
+        m = 1 + (v % 3)
+        p = (deg[:v] + 1.0) / (deg[:v] + 1.0).sum()
+        for u in rng.choice(v, size=min(m, v), replace=False, p=p):
+            e = (min(int(u), v), max(int(u), v))
+            if e not in edges:
+                edges.add(e)
+                deg[u] += 1
+                deg[v] += 1
+    edges = sorted(edges)
+
+    os.makedirs(panther_root, exist_ok=True)
+    for gi, name in enumerate(("kdd", "icdm")):
+        grng = np.random.default_rng(seed + 100 + gi)
+        kept = [e for e in edges if grng.random() < keep]
+        present = {v for e in kept for v in e}
+        for v in range(n_shared):  # re-attach isolated authors
+            if v not in present:
+                u = int(grng.integers(n_shared - 1))
+                u = u if u != v else n_shared - 1
+                kept.append((min(u, v), max(u, v)))
+                present.add(v)
+        for x in range(n_extra):  # graph-specific authors
+            v = n_shared + x
+            for u in grng.choice(n_shared, size=1 + int(grng.integers(3)),
+                                 replace=False):
+                kept.append((int(u), v))
+        off = 1000 * (gi + 1)  # distinct raw-id spaces per graph
+        with open(os.path.join(panther_root, f"{name}.graph"), "w") as f:
+            f.write(f"{n_shared + n_extra} {len(kept)}\n")
+            for a, b in kept:
+                f.write(f"{a + off} {b + off} 1\n")
+        with open(os.path.join(panther_root, f"{name}.dict"), "w") as f:
+            for v in range(n_shared):
+                f.write(f"author_{v}\t{v + off}\n")
+            for x in range(n_extra):
+                f.write(f"{name}_only_{x}\t{n_shared + x + off}\n")
+    return n_shared
+
+
+def test_similarity_search_nontrivial_ranking(tmp_path):
+    """Partial-overlap noisy pair through the full task flow with
+    GraphWave (structural embeddings are cross-graph comparable):
+    recall must beat chance by a clear margin AND stay below 1.0.
+    Calibrated over 5 fixture seeds: Recall@20 in 0.375-0.475
+    (chance 0.25), Recall@40 in 0.625-0.725 (chance 0.50)."""
+    root = str(tmp_path)
+    n_shared = _write_noisy_coauthor_pair(os.path.join(root, "panther"),
+                                          seed=1)
+    task = SimilaritySearch("kdd", "icdm", 32, model="graphwave",
+                            data_root=root)
+    res = task.train()
+    r20, r40 = res["Recall @ 20"], res["Recall @ 40"]
+    chance20 = 20.0 / n_shared
+    assert chance20 + 0.10 < r20 < 1.0, res
+    assert 0.55 < r40 < 1.0, res
+    assert r40 > r20, res
+
+
 def test_similarity_search_baseline_model(tmp_path):
     """Classical-model path (reference scripts/similarity_search/baseline.sh):
     the task trains the baseline embedder on each graph directly."""
