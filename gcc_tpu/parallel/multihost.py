@@ -33,15 +33,21 @@ def initialize_multihost(coordinator: str | None = None,
     )
 
 
-def host_local_batch_to_global(mesh, batch, axis: str = "data"):
+def host_local_batch_to_global(mesh, batch, axis: str = "data",
+                               spec=None):
     """Assemble a globally-sharded batch from per-host local arrays.
 
     Each host contributes its local batch shard; the returned global
     arrays are sharded over `axis` without any cross-host copy
-    (jax.make_array_from_process_local_data)."""
+    (jax.make_array_from_process_local_data).
+
+    spec overrides the default P(axis) partitioning — e.g. the
+    DP-stacked compact wire carries its device axis at dim 1
+    ((K, D, e_dev) edges / (K, D, 3, b) meta), so run_pretrain passes
+    P(None, axis)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(axis) if spec is None else spec)
 
     def convert(x):
         x = np.asarray(x)

@@ -531,11 +531,14 @@ def _max_group_sum(stats, group: int) -> int:
 
 
 def _probe_pairs(store: CorpusStore, cfg: SamplerConfig,
-                 pcfg: PipelineConfig, seed: int):
+                 pcfg: PipelineConfig, seed: int,
+                 graph_ids: list[int] | None = None):
     """Draw one probe super-batch of plain wire pairs (own RNG stream)
     and return their per-pair stats [(q_n, q_e, k_n, k_e), ...]."""
     probe_cfg = dataclasses.replace(pcfg, compact_wire=False, emit="pairs")
-    shard = ShardSampler(store, list(range(len(store.graph_sizes))),
+    if graph_ids is None:
+        graph_ids = list(range(len(store.graph_sizes)))
+    shard = ShardSampler(store, list(graph_ids),
                          cfg, probe_cfg, seed + 104_729)
     out = []
     for _ in range(max(1, probe_cfg.super_batch)):
@@ -611,12 +614,22 @@ class PretrainPipeline:
     num_workers=0 runs synchronously in-process; otherwise forked worker
     processes each own a greedy size-balanced shard of the corpus
     (num_copies replicates the assignment, reference graph_dataset.py:76).
+
+    graph_ids restricts sampling to a subset of the corpus — the
+    per-HOST shard in multi-host DP (parallel/multihost.py
+    corpus_shard_for_host); workers then partition within it. None =
+    the whole corpus.
     """
 
     def __init__(self, store: CorpusStore, cfg: SamplerConfig,
-                 pcfg: PipelineConfig, seed: int = 0):
+                 pcfg: PipelineConfig, seed: int = 0,
+                 graph_ids: list[int] | None = None):
         self.store = store
         self.cfg = cfg
+        self.graph_ids = (list(graph_ids) if graph_ids is not None
+                          else list(range(len(store.graph_sizes))))
+        if not self.graph_ids:
+            raise ValueError("graph_ids restriction is empty")
         if pcfg.emit in ("stacked", "routed") and not (
             pcfg.compact_wire and pcfg.n_max <= 256
             and native.native_available()
@@ -633,7 +646,8 @@ class PretrainPipeline:
             or (pcfg.emit == "routed"
                 and (pcfg.e_tot_small is None or pcfg.e_tot_large is None))
         ):
-            stats = _probe_pairs(store, cfg, pcfg, seed)
+            stats = _probe_pairs(store, cfg, pcfg, seed,
+                                 graph_ids=self.graph_ids)
             max_total = max(
                 max(int(qe.sum()), int(ke.sum())) for _, qe, _, ke in stats
             )
@@ -655,17 +669,22 @@ class PretrainPipeline:
             else:
                 self._start_threads()
         else:
-            jobs = partition_graphs(store.graph_sizes, 1)
+            jobs = self._partition(1)
             self._shard = ShardSampler(store, jobs[0], cfg, pcfg, seed)
+
+    def _partition(self, num_workers: int, num_copies: int = 1):
+        """Greedy size-balanced worker partition WITHIN this pipeline's
+        graph_ids restriction (the per-host shard)."""
+        sizes = [self.store.graph_sizes[i] for i in self.graph_ids]
+        jobs = partition_graphs(sizes, num_workers, num_copies)
+        return [[self.graph_ids[j] for j in job] for job in jobs]
 
     def _start_threads(self):
         import threading
 
         self._queue = queue_mod.Queue(maxsize=self.pcfg.prefetch)
         self._stop = threading.Event()
-        jobs = partition_graphs(
-            self.store.graph_sizes, self.pcfg.num_workers, self.pcfg.num_copies
-        )
+        jobs = self._partition(self.pcfg.num_workers, self.pcfg.num_copies)
         for w, graph_ids in enumerate(jobs):
             t = threading.Thread(
                 target=_worker_main,
@@ -680,9 +699,7 @@ class PretrainPipeline:
         ctx = mp.get_context("fork")
         self._queue = ctx.Queue(maxsize=self.pcfg.prefetch)
         self._stop = ctx.Event()
-        jobs = partition_graphs(
-            self.store.graph_sizes, self.pcfg.num_workers, self.pcfg.num_copies
-        )
+        jobs = self._partition(self.pcfg.num_workers, self.pcfg.num_copies)
         for w, graph_ids in enumerate(jobs):
             p = ctx.Process(
                 target=_worker_main,

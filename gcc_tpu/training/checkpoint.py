@@ -36,13 +36,17 @@ def save_checkpoint(path: str, state: Any, cfg: TrainConfig,
     name = f"ckpt_{step}" if step is not None else "current"
     target = os.path.abspath(os.path.join(path, name))
     ckptr = ocp.PyTreeCheckpointer()
+    # Multi-process: save() is a collective (Orbax barriers internally
+    # and writes from the primary process) — EVERY process must call it
+    # (training/loop.py does); only process 0 writes the sidecar.
     ckptr.save(target, jax.device_get(state), force=True)
-    import json
+    if jax.process_index() == 0:
+        import json
 
-    sidecar = json.loads(cfg.to_json())
-    sidecar["ckpt_format_version"] = CKPT_FORMAT_VERSION
-    with open(os.path.join(path, CONFIG_FILE), "w") as f:
-        f.write(json.dumps(sidecar, indent=2))
+        sidecar = json.loads(cfg.to_json())
+        sidecar["ckpt_format_version"] = CKPT_FORMAT_VERSION
+        with open(os.path.join(path, CONFIG_FILE), "w") as f:
+            f.write(json.dumps(sidecar, indent=2))
     return target
 
 
