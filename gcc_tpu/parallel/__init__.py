@@ -5,6 +5,7 @@ from gcc_tpu.parallel.partitioned import (
     partition_edges,
     partition_edges_ring,
     partitioned_aggregate,
+    partitioned_aggregate_batched,
     partitioned_aggregate_ring,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "partition_edges",
     "partition_edges_ring",
     "partitioned_aggregate",
+    "partitioned_aggregate_batched",
     "partitioned_aggregate_ring",
 ]

@@ -71,6 +71,34 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.device_put(batch, batch_sharding(mesh, axis))
 
 
+def make_combined_train_step(cfg, enc, tx, mesh: Mesh, pg,
+                             n_max: int | None = None):
+    """ONE jitted program on the combined (data, part) mesh: the DP
+    train step (batch sharded over "data", params/queue placed by
+    state_shardings) AND a giant-graph partitioned aggregation over
+    "part" (SURVEY.md §7 stage 7: the {data, partition} axes compose in
+    a single XLA program — e.g. pretraining while a corpus-scale
+    embedding refresh rides the part axis; exercised by
+    tests/test_parallel.py::test_combined_data_part_mesh and
+    __graft_entry__.dryrun_multichip).
+
+    Returns step(state, batch_q, batch_k, h) ->
+    (new_state, metrics, aggregated) where h is (N, F) sharded over
+    "part" on the same mesh."""
+    from gcc_tpu.parallel.partitioned import partitioned_aggregate
+    from gcc_tpu.training.pretrain import make_train_step
+
+    jitted = make_train_step(cfg, enc, tx, n_max=n_max)
+    raw = jitted.__wrapped__
+
+    def combined(state, batch_q, batch_k, h):
+        new_state, metrics = raw(state, batch_q, batch_k)
+        agg = partitioned_aggregate(pg, h, mesh, axis="part")
+        return new_state, metrics, agg
+
+    return jax.jit(combined, donate_argnums=(0,))
+
+
 def make_dp_train_step(cfg, enc, tx, mesh: Mesh, n_max: int | None = None):
     """The standard train step jitted with explicit DP shardings."""
     from gcc_tpu.training.pretrain import make_train_step

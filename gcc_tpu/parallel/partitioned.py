@@ -101,6 +101,45 @@ def partitioned_aggregate(pg: PartitionedGraph, h: jax.Array, mesh: Mesh,
     )(jnp.asarray(pg.src), jnp.asarray(pg.dst), jnp.asarray(pg.weight), h)
 
 
+def partitioned_aggregate_batched(pg: PartitionedGraph, h: jax.Array,
+                                  mesh: Mesh, data_axis: str = "data",
+                                  part_axis: str = "part") -> jax.Array:
+    """Batched giant-graph aggregation on the COMBINED (data, part) mesh.
+
+    out[b, v] = Σ_{(u→v)} w · h[b, u] for a batch of node-feature views
+    of ONE shared partitioned graph: h is (B, N, F) with the batch dim
+    sharded over ``data_axis`` and the node dim over ``part_axis``
+    (SURVEY.md §7 stage 7 — the {data, partition} axes composing in one
+    program). Each data-replica group aggregates its own views; the edge
+    shards are replicated across data. This is the building block for
+    giant-graph encoding under data parallelism (B independent feature
+    views — e.g. per-seed indicator features or augmentation draws — of
+    a corpus-scale graph).
+
+    Returns (B, N, F) with the same (data, part) sharding."""
+
+    def local(src, dst, w, h_shard):
+        # h_shard: (B_loc, N/p, F) → gather full rows per view.
+        hg = jax.lax.all_gather(h_shard, part_axis, axis=1, tiled=True)
+        msgs = hg[:, src[0]] * w[0][None, :, None]      # (B_loc, E_per, F)
+        partial = jax.vmap(
+            lambda m: jax.ops.segment_sum(m, dst[0],
+                                          num_segments=pg.num_nodes)
+        )(msgs)
+        return jax.lax.psum_scatter(partial, part_axis,
+                                    scatter_dimension=1, tiled=True)
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(part_axis), P(part_axis), P(part_axis),
+                  P(data_axis, part_axis)),
+        out_specs=P(data_axis, part_axis),
+    )(jnp.asarray(pg.src), jnp.asarray(pg.dst), jnp.asarray(pg.weight), h)
+
+
 def giant_graph_embedding_oracle(pg: PartitionedGraph,
                                  h: np.ndarray) -> np.ndarray:
     """Single-host numpy oracle for tests."""

@@ -211,6 +211,104 @@ def test_dp_train_step_matches_single_device():
         assert int(np.asarray(s2.queue.index)) == int(np.asarray(s1.queue.index))
 
 
+def test_batched_partitioned_aggregate_matches_oracle():
+    """partitioned_aggregate_batched on the combined (data=4, part=2)
+    mesh: a batch of feature views of one shared partitioned graph,
+    batch over "data", node rows over "part" — per-view results must
+    equal the single-view oracle."""
+    from gcc_tpu.parallel import partitioned_aggregate_batched
+
+    rng = np.random.default_rng(6)
+    n, e, f, b = 32, 200, 8, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    pg = partition_edges(src, dst, num_nodes=n, num_devices=2)
+    h = rng.normal(size=(b, pg.num_nodes, f)).astype(np.float32)
+
+    mesh = make_mesh(data=4, part=2)
+    h_sharded = jax.device_put(
+        jnp.asarray(h), NamedSharding(mesh, P("data", "part"))
+    )
+    out = partitioned_aggregate_batched(pg, h_sharded, mesh)
+    assert out.sharding.spec == P("data", "part")
+    out = np.asarray(out)
+    for i in range(b):
+        np.testing.assert_allclose(out[i],
+                                   giant_graph_embedding_oracle(pg, h[i]),
+                                   atol=1e-4)
+
+
+def test_combined_data_part_mesh():
+    """SURVEY.md §7 stage 7 / VERDICT r2 item 4: ONE jitted program on
+    the combined (data=4, part=2) mesh takes a DP training step (batch
+    sharded over "data") while a giant-graph partitioned aggregation
+    runs over "part". The training loss must equal the data-only-mesh
+    DP step and the aggregation must equal the numpy oracle."""
+    from gcc_tpu.config import (
+        ContrastConfig, EncoderConfig, OptimConfig, SamplerConfig,
+        TrainConfig,
+    )
+    from gcc_tpu.graph.corpus import synthetic_corpus
+    from gcc_tpu.parallel.data_parallel import (
+        make_combined_train_step, make_dp_train_step, shard_batch,
+        shard_state,
+    )
+    from gcc_tpu.sampling.pipeline import PipelineConfig, ShardSampler
+    from gcc_tpu.training import create_pretrain_state
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        store = synthetic_corpus(td + "/c", num_graphs=1,
+                                 nodes_per_graph=300, avg_degree=6)
+        cfg = TrainConfig(
+            batch_size=8,
+            sampler=SamplerConfig(rw_hops=8),
+            encoder=EncoderConfig(hidden_size=16, output_size=16,
+                                  positional_embedding_size=8,
+                                  degree_embedding_size=4,
+                                  pe_method="eigh"),
+            contrast=ContrastConfig(moco=True, nce_k=64),
+            optim=OptimConfig(learning_rate=0.01),
+        )
+        pcfg = PipelineConfig(batch_size=8, n_max=16, e_max=128,
+                              num_workers=0, super_batch=1,
+                              compact_wire=False)
+        shard = ShardSampler(store, [0], cfg.sampler, pcfg, seed=0)
+        bq, bk = shard.next_pair()
+
+        # Giant graph riding the part axis of the same mesh.
+        rng = np.random.default_rng(7)
+        gn, ge, gf = 32, 200, 8
+        pg = partition_edges(rng.integers(0, gn, ge),
+                             rng.integers(0, gn, ge),
+                             num_nodes=gn, num_devices=2)
+        h = rng.normal(size=(pg.num_nodes, gf)).astype(np.float32)
+
+        mesh = make_mesh(data=4, part=2)
+        state, enc, tx = create_pretrain_state(
+            jax.random.PRNGKey(0), cfg, bq, total_steps=10, n_max=16)
+        state = shard_state(mesh, state)
+        step = make_combined_train_step(cfg, enc, tx, mesh, pg, n_max=16)
+        h_sharded = jax.device_put(jnp.asarray(h),
+                                   NamedSharding(mesh, P("part")))
+        new_state, metrics, agg = step(
+            state, shard_batch(mesh, bq), shard_batch(mesh, bk), h_sharded)
+        loss = float(np.asarray(metrics["loss"]))
+        assert np.isfinite(loss)
+        np.testing.assert_allclose(np.asarray(agg),
+                                   giant_graph_embedding_oracle(pg, h),
+                                   atol=1e-4)
+        # The combined-mesh loss matches a data-only-mesh DP step.
+        state2, enc2, tx2 = create_pretrain_state(
+            jax.random.PRNGKey(0), cfg, bq, total_steps=10, n_max=16)
+        mesh_d = make_mesh(data=8, part=1)
+        state2 = shard_state(mesh_d, state2)
+        dp = make_dp_train_step(cfg, enc2, tx2, mesh_d, n_max=16)
+        _, m2 = dp(state2, shard_batch(mesh_d, bq), shard_batch(mesh_d, bk))
+        np.testing.assert_allclose(loss, float(np.asarray(m2["loss"])),
+                                   rtol=1e-4)
+
+
 def test_giant_gin_matches_dense_path():
     """Whole-graph encoding via the partitioned path must equal the dense
     single-chip path, using the same pretrained params."""
