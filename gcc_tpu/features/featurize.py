@@ -53,9 +53,26 @@ class _MaskBatch(NamedTuple):
     n_nodes: jax.Array
 
 
+def _fused_featurize_mode() -> str:
+    """One-pass Pallas featurize builder (ops/featurize_pallas.py —
+    docs/PERF.md lever 7b): GCC_TPU_FUSED_FEATURIZE "1" (compiled, on
+    TPU backends), "interpret", or "0" (default: the XLA scatter
+    chain)."""
+    import os
+
+    import jax as _jax
+
+    flag = os.environ.get("GCC_TPU_FUSED_FEATURIZE", "0")
+    if flag == "interpret":
+        return "interpret"
+    if flag == "1" and _jax.default_backend() == "tpu":
+        return "compiled"
+    return ""
+
+
 def featurize_compact(
     edges: jax.Array, meta: jax.Array, n_max: int, id_bits: int,
-    pos_size: int, pe_method: str = "eigh",
+    pos_size: int, pe_method: str = "eigh", e_cap: int | None = None,
 ) -> BatchFeatures:
     """Featurize stacked compact wire segments without padded expansion.
 
@@ -77,14 +94,31 @@ def featurize_compact(
     s, _, b = meta.shape
     n_nodes = meta[:, 0, :].reshape(s * b)
     seed_pos = meta[:, 2, :].reshape(s * b)
-    adj = build_dense_adjacency_compact(edges, meta[:, 1, :], n_max, id_bits)
     iota = jnp.arange(n_max, dtype=jnp.int32)[None, :]
     node_mask = (iota < n_nodes[:, None]).astype(jnp.float32)
     seed_flag = (iota == seed_pos[:, None]).astype(jnp.float32) * node_mask
     mb = _MaskBatch(node_mask=node_mask, n_nodes=n_nodes)
-    pos = laplacian_positional_embedding(mb, pos_size, adj=adj,
-                                         method=pe_method)
-    deg = adj.sum(axis=2).astype(jnp.int32)
+    fused = _fused_featurize_mode()
+    if (fused and pe_method == "subspace" and n_max <= 128
+            and id_bits == 8 and e_cap is not None):
+        # One-pass kernel: adjacency + shifted PE operator + degrees,
+        # each written once (replaces the serial scatter + the
+        # normalize/shift HBM passes — ops/featurize_pallas.py).
+        from gcc_tpu.ops.featurize_pallas import fused_adjacency_featurize
+
+        adj, m_shift, deg_f = fused_adjacency_featurize(
+            edges, meta, node_mask, n_max, e_cap,
+            interpret=(fused == "interpret"))
+        pos = laplacian_positional_embedding(mb, pos_size, adj=adj,
+                                             method=pe_method,
+                                             m_shift=m_shift)
+        deg = deg_f.astype(jnp.int32)
+    else:
+        adj = build_dense_adjacency_compact(edges, meta[:, 1, :], n_max,
+                                            id_bits)
+        pos = laplacian_positional_embedding(mb, pos_size, adj=adj,
+                                             method=pe_method)
+        deg = adj.sum(axis=2).astype(jnp.int32)
     return BatchFeatures(
         pos=pos,
         degrees=deg,

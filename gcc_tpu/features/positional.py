@@ -78,8 +78,15 @@ def laplacian_positional_embedding(
     orth_every: int = 4,
     power_dtype=jnp.bfloat16,
     guards: int | None = None,
+    m_shift: jax.Array | None = None,
 ) -> jax.Array:
     """(B, N_max, pos_size) positional embeddings.
+
+    m_shift: optional precomputed shifted operator for the "subspace"
+    method (= normalized adjacency + I on real rows, 0 on the padding
+    diagonal — exactly what the fused one-pass featurize kernel emits,
+    ops/featurize_pallas.py). When given, the normalize/shift chain here
+    is skipped entirely.
 
     Per graph b with n_b real nodes: the k_b = min(n_b - 2, pos_size)
     leading eigenvectors of M (k_b ≤ 0 → zeros, data_util.py:245-246),
@@ -108,7 +115,8 @@ def laplacian_positional_embedding(
         g=0 → 0.85 / g=16 → 0.93. g=32 iterates too deep into the
         clustered bulk and starts hurting small graphs — keep ≤ 16.
     """
-    m = normalized_adjacency(batch, adj)
+    m = (normalized_adjacency(batch, adj)
+         if (m_shift is None or method != "subspace") else None)
     n_max = batch.node_mask.shape[1]
     # A bucket smaller than pos_size can only yield n_max eigenvectors;
     # the remaining columns are zero-padded (k_b ≤ n_b - 2 < pos_size
@@ -123,7 +131,8 @@ def laplacian_positional_embedding(
         if guards is None:
             guards = _pe_guards()
         top = _subspace_topk(m, batch, n_vec, iters, orth_every,
-                             power_dtype=power_dtype, guards=guards)
+                             power_dtype=power_dtype, guards=guards,
+                             m_shift=m_shift)
     else:
         raise ValueError(f"unknown PE method: {method}")
     if n_vec < pos_size:
@@ -160,6 +169,7 @@ def _subspace_topk(
     orth_every: int,
     power_dtype=jnp.bfloat16,
     guards: int = 16,
+    m_shift: jax.Array | None = None,
 ) -> jax.Array:
     """Top-k (algebraic) eigenvectors of M via shifted orthogonal iteration.
 
@@ -181,18 +191,21 @@ def _subspace_topk(
     # Guarded block width: even (the Jacobi RR pairs columns), ≤ n.
     k = min(n, k_keep + max(0, guards))
     k = max(k - (k % 2), k_keep)
-    eye = jnp.eye(n, dtype=m.dtype)
-    pad = 1.0 - batch.node_mask
-    # normalized_adjacency pinned padding at -2; move it to -1 so the
-    # +1 shift sends it to 0 (lowest modulus).
-    m_shift = m + (pad[:, :, None] * eye) + eye
+    if m_shift is None:
+        eye = jnp.eye(n, dtype=m.dtype)
+        pad = 1.0 - batch.node_mask
+        # normalized_adjacency pinned padding at -2; move it to -1 so
+        # the +1 shift sends it to 0 (lowest modulus).
+        m_shift = m + (pad[:, :, None] * eye) + eye
+    # else: the fused featurize kernel already emitted exactly this
+    # operator (ops/featurize_pallas.py, equality pinned by test).
 
     # Deterministic init (PE must be a pure function of the batch): a
     # fixed numpy basis baked into the program as a (n, k) constant —
     # generating it with jax.random.normal would re-run threefry on
     # (B, n, k) every step (~0.5 ms at the canonical bucket).
     q0_const = jnp.asarray(
-        np.random.default_rng(2).standard_normal((n, k)), m.dtype
+        np.random.default_rng(2).standard_normal((n, k)), m_shift.dtype
     )
     q = jnp.broadcast_to(q0_const, (b, n, k)) * batch.node_mask[:, :, None]
 
@@ -202,7 +215,7 @@ def _subspace_topk(
         norm = jnp.linalg.norm(q, axis=1, keepdims=True)
         return q / jnp.maximum(norm, 1e-20)
 
-    eye_k = jnp.eye(k, dtype=m.dtype)
+    eye_k = jnp.eye(k, dtype=m_shift.dtype)
 
     def orth_ns(q, steps: int = 4):
         # Newton-Schulz orthonormalization: Q ← (3Q − Q QᵀQ)/2 after

@@ -295,7 +295,7 @@ def _featurize_compact_segments(wires_q: CompactWireBatch,
     bsz = meta.shape[-1]
     feats = featurize_compact(
         edges.reshape(2 * k_steps, e_tot), meta.reshape(2 * k_steps, 3, bsz),
-        n_max, wires_q.id_bits, pos_size, pe_method,
+        n_max, wires_q.id_bits, pos_size, pe_method, e_cap=wires_q.e_max,
     )
     return jax.tree_util.tree_map(
         lambda x: x.reshape((k_steps, 2 * bsz) + x.shape[1:]), feats
@@ -331,7 +331,7 @@ def featurize_stacked_dp(wires_q: CompactWireBatch,
     def one(e, m):
         return featurize_compact(
             e.reshape(d * 2, e_dev), m.reshape(d * 2, 3, b),
-            n_max, wires_q.id_bits, pos_size, pe_method,
+            n_max, wires_q.id_bits, pos_size, pe_method, e_cap=wires_q.e_max,
         )
 
     return jax.vmap(one)(edges, meta)

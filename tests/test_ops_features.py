@@ -532,6 +532,84 @@ def test_featurize_compact_matches_padded_path():
             np.testing.assert_array_equal(a, w, err_msg=name)
 
 
+def test_fused_featurize_matches_xla_chain():
+    """The fused one-pass Pallas featurize builder (interpret mode) must
+    reproduce the XLA chain exactly: adjacency ==
+    build_dense_adjacency_compact, degrees == adj row sums, and m_shift
+    == normalized_adjacency + _subspace_topk's pad-cancelling +I shift —
+    including zero-edge graphs (the warm-compile path) and stale tail
+    bytes past each segment's edge total."""
+    from gcc_tpu.features.positional import _PAD_EIGENVALUE
+    from gcc_tpu.ops.aggregate import build_dense_adjacency_compact
+    from gcc_tpu.ops.featurize_pallas import fused_adjacency_featurize
+
+    rng = np.random.default_rng(11)
+    s, b, n_max, e_tot = 3, 4, 128, 256
+    edges, meta, id_bits, _ = _random_compact_segments(
+        rng, s, b, n_max, e_tot)
+    assert id_bits == 8
+    meta[0, 1, 0] = 0  # a zero-edge graph
+
+    n_nodes = meta[:, 0, :].reshape(s * b)
+    iota = np.arange(n_max, dtype=np.int32)[None, :]
+    node_mask = (iota < n_nodes[:, None]).astype(np.float32)
+
+    e_cap = 64  # per-graph cap: >= every count in the fixture
+    assert int(meta[:, 1, :].max()) <= e_cap
+    adj, ms, deg = fused_adjacency_featurize(
+        jnp.asarray(edges), jnp.asarray(meta), jnp.asarray(node_mask),
+        n_max, e_cap, interpret=True)
+
+    want_adj = np.asarray(jax.jit(
+        lambda ed, me: build_dense_adjacency_compact(ed, me[:, 1, :],
+                                                     n_max, id_bits)
+    )(edges, meta))
+    np.testing.assert_array_equal(np.asarray(adj), want_adj)
+    np.testing.assert_array_equal(np.asarray(deg), want_adj.sum(axis=2))
+
+    # m_shift oracle: normalized adjacency with the -2 padding pin, then
+    # + pad*eye + eye (features/positional.py _subspace_topk).
+    degs = want_adj.sum(axis=2)  # in-degrees, both sides (node_degrees)
+    inv_r = 1.0 / np.sqrt(np.maximum(degs, 1.0))
+    m = want_adj * inv_r[:, :, None] * inv_r[:, None, :]
+    eye = np.eye(n_max, dtype=np.float32)
+    pad = 1.0 - node_mask
+    m = m + (pad * _PAD_EIGENVALUE)[:, :, None] * eye
+    want_ms = m + pad[:, :, None] * eye + eye
+    np.testing.assert_allclose(np.asarray(ms), want_ms, atol=1e-6)
+
+
+def test_featurize_compact_fused_path_equivalent(monkeypatch):
+    """featurize_compact with GCC_TPU_FUSED_FEATURIZE=interpret (the
+    one-pass kernel) must match the XLA-chain path leaf for leaf at the
+    production subspace-PE configuration."""
+    from gcc_tpu.features.featurize import featurize_compact
+
+    rng = np.random.default_rng(13)
+    s, b, n_max, e_tot = 3, 4, 128, 256
+    edges, meta, id_bits, _ = _random_compact_segments(
+        rng, s, b, n_max, e_tot)
+
+    monkeypatch.setenv("GCC_TPU_PE_PALLAS", "interpret")
+
+    def run():
+        return featurize_compact(jnp.asarray(edges), jnp.asarray(meta),
+                                 n_max, id_bits, 8, pe_method="subspace",
+                                 e_cap=64)
+
+    monkeypatch.delenv("GCC_TPU_FUSED_FEATURIZE", raising=False)
+    want = run()
+    monkeypatch.setenv("GCC_TPU_FUSED_FEATURIZE", "interpret")
+    got = run()
+    for name in got._fields:
+        a, w = np.asarray(getattr(got, name)), np.asarray(getattr(want, name))
+        if name == "pos":
+            np.testing.assert_allclose(a, w, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, w, err_msg=name)
+
+
 def test_featurize_stacked_routes_compact():
     """featurize_stacked on stacked CompactWireBatch pytrees returns the
     same (K, 2B, ...) features as the padded-expansion route."""
