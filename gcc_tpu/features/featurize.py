@@ -30,11 +30,14 @@ class BatchFeatures(NamedTuple):
 
 
 def featurize_batch(
-    batch: PaddedSubgraphBatch, pos_size: int, pe_method: str = "eigh"
+    batch: PaddedSubgraphBatch, pos_size: int, pe_method: str = "eigh",
+    profile: str = "train",
 ) -> BatchFeatures:
+    """profile selects the subspace-PE guard default ("train" → 0,
+    "eval" → 16 — positional._pe_guards); eigh ignores it."""
     adj = build_dense_adjacency(batch)
     pos = laplacian_positional_embedding(batch, pos_size, adj=adj,
-                                         method=pe_method)
+                                         method=pe_method, profile=profile)
     deg = node_degrees(batch, adj).astype(jnp.int32)
     return BatchFeatures(
         pos=pos,
@@ -73,6 +76,7 @@ def _fused_featurize_mode() -> str:
 def featurize_compact(
     edges: jax.Array, meta: jax.Array, n_max: int, id_bits: int,
     pos_size: int, pe_method: str = "eigh", e_cap: int | None = None,
+    profile: str = "train",
 ) -> BatchFeatures:
     """Featurize stacked compact wire segments without padded expansion.
 
@@ -111,13 +115,15 @@ def featurize_compact(
             interpret=(fused == "interpret"))
         pos = laplacian_positional_embedding(mb, pos_size, adj=adj,
                                              method=pe_method,
-                                             m_shift=m_shift)
+                                             m_shift=m_shift,
+                                             profile=profile)
         deg = deg_f.astype(jnp.int32)
     else:
         adj = build_dense_adjacency_compact(edges, meta[:, 1, :], n_max,
                                             id_bits)
         pos = laplacian_positional_embedding(mb, pos_size, adj=adj,
-                                             method=pe_method)
+                                             method=pe_method,
+                                             profile=profile)
         deg = adj.sum(axis=2).astype(jnp.int32)
     return BatchFeatures(
         pos=pos,

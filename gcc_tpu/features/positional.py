@@ -79,6 +79,7 @@ def laplacian_positional_embedding(
     power_dtype=jnp.bfloat16,
     guards: int | None = None,
     m_shift: jax.Array | None = None,
+    profile: str = "train",
 ) -> jax.Array:
     """(B, N_max, pos_size) positional embeddings.
 
@@ -129,7 +130,7 @@ def laplacian_positional_embedding(
         top = vecs[:, :, -1 : -n_vec - 1 : -1]  # (B, N, n_vec), descending
     elif method == "subspace":
         if guards is None:
-            guards = _pe_guards()
+            guards = _pe_guards(profile)
         top = _subspace_topk(m, batch, n_vec, iters, orth_every,
                              power_dtype=power_dtype, guards=guards,
                              m_shift=m_shift)
@@ -362,13 +363,22 @@ def _subspace_topk(
     )
 
 
-def _pe_guards() -> int:
-    """Default guard-column count for the subspace PE (GCC_TPU_PE_GUARDS,
-    default 16). See laplacian_positional_embedding for the fidelity and
-    cost trade-off; 0 restores the round-1 guardless path."""
+def _pe_guards(profile: str = "train") -> int:
+    """Default guard-column count for the subspace PE, per profile.
+
+    "train" → 0: the guarded path costs 3.3x on the device step (two
+    (48,48) Jacobi chains vs one (32,32) — docs/PERF.md Session 5 A/B)
+    and the downstream PE A/B shows training-time fidelity at g=0 does
+    not move frozen-embedding transfer.  "eval" → 16: generate/finetune
+    featurization is once-per-dataset, and g=16 restores ARPACK-oracle
+    fidelity 0.83 → 0.989 where the embeddings are actually consumed.
+    GCC_TPU_PE_GUARDS force-overrides both profiles."""
     import os
 
-    return int(os.environ.get("GCC_TPU_PE_GUARDS", "16"))
+    env = os.environ.get("GCC_TPU_PE_GUARDS")
+    if env is not None:
+        return int(env)
+    return 16 if profile == "eval" else 0
 
 
 def _rr_method() -> str:

@@ -61,7 +61,7 @@ def generate_embeddings(
     def encode(params, stats, batch):
         feats = featurize_batch(
             batch, cfg.encoder.positional_embedding_size,
-            pe_method=cfg.encoder.pe_method,
+            pe_method=cfg.encoder.pe_method, profile="eval",
         )
         return _eval_apply(enc, params, stats, feats)
 

@@ -83,7 +83,7 @@ def create_finetune_state(
     def _init(batch):
         feats = featurize_batch(
             batch, cfg.encoder.positional_embedding_size,
-            pe_method=cfg.encoder.pe_method,
+            pe_method=cfg.encoder.pe_method, profile="eval",
         )
         variables = enc.init(enc_rng, feats, train=False)
         emb = enc.apply(variables, feats, train=False)
@@ -122,7 +122,11 @@ def make_finetune_step(cfg: TrainConfig, modules, tx, num_classes: int):
     def step_fn(state: FinetuneState, batch: PaddedSubgraphBatch,
                 labels: jax.Array, example_mask: jax.Array):
         rng, new_rng = jax.random.split(state.dropout_rng)
-        feats = featurize_batch(batch, pos_size, pe_method=pe_method)
+        # Finetune datasets are tiny and accuracy-facing — keep the
+        # eval-profile guarded PE here too (cost is once-per-dataset
+        # scale, not the pretrain hot loop).
+        feats = featurize_batch(batch, pos_size, pe_method=pe_method,
+                                profile="eval")
 
         def loss_fn(params):
             emb, mut = enc.apply(
@@ -153,7 +157,8 @@ def make_finetune_step(cfg: TrainConfig, modules, tx, num_classes: int):
 
     def eval_fn(state: FinetuneState, batch: PaddedSubgraphBatch,
                 labels: jax.Array, example_mask: jax.Array):
-        feats = featurize_batch(batch, pos_size, pe_method=pe_method)
+        feats = featurize_batch(batch, pos_size, pe_method=pe_method,
+                                profile="eval")
         emb = enc.apply(
             {"params": state.params["encoder"],
              "batch_stats": state.batch_stats},

@@ -33,6 +33,8 @@ ARMS = ("subspace", "eigh", "subspace-g0")
 
 
 def child(args):
+    import glob
+
     import numpy as np
 
     from gcc_tpu.cli import _enable_compilation_cache
@@ -63,12 +65,31 @@ def child(args):
         num_workers=1, mode="thread", emit="routed", super_batch=62,
         n_small=128,
     )
+    # Resume: if a finished run (a 'current' checkpoint) already exists
+    # in args.out, skip straight to eval — a crash in the eval phase must
+    # not cost the ~40-minute training+compile again.
+    done_ckpts = glob.glob(os.path.join(args.out, "*", "current"))
     t0 = time.time()
-    summary = run_pretrain(cfg, corpus, args.out, pcfg=pcfg,
-                           steps_per_call=62)
+    if done_ckpts:
+        run_dir = os.path.dirname(done_ckpts[0])
+        losses = [json.loads(l)["loss"] for l in
+                  open(os.path.join(run_dir, "metrics.jsonl"))]
+        per_epoch = max(1, len(losses) // max(1, args.epochs))
+        avg_loss = float(np.mean(losses[-per_epoch:]))
+        print(f"[child] reusing finished run {run_dir}", flush=True)
+    else:
+        summary = run_pretrain(cfg, corpus, args.out, pcfg=pcfg,
+                               steps_per_call=62)
+        run_dir = summary["run_dir"]
+        avg_loss = summary.get("avg_loss")
     train_s = time.time() - t0
 
     # Frozen-embedding role transfer (scripts/role_benchmark.py protocol).
+    # Eval-time PE is pinned to exact eigh FOR EVERY ARM (and any guards
+    # override is dropped) so the arms differ only in the weights that
+    # training-time PE produced — the eval-side PE approximation is held
+    # out of the comparison entirely.
+    import dataclasses
     from types import SimpleNamespace
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -78,9 +99,12 @@ def child(args):
     from gcc_tpu.tasks import evaluate_node_embeddings
     from gcc_tpu.training.checkpoint import load_checkpoint, load_config
 
+    os.environ.pop("GCC_TPU_PE_GUARDS", None)
     g, y = build_role_graph(args.motifs)
-    ckpt = os.path.join(summary["run_dir"], "current")
+    ckpt = os.path.join(run_dir, "current")
     lcfg = load_config(os.path.dirname(ckpt))
+    lcfg = dataclasses.replace(
+        lcfg, encoder=dataclasses.replace(lcfg.encoder, pe_method="eigh"))
     state = SimpleNamespace(**load_checkpoint(ckpt))
     subs_q, subs_k = node_subgraphs(g, lcfg, 256, 2048, two_views=True)
     emb = generate_embeddings(lcfg, state, subs_q, n_max=256, e_max=2048,
@@ -88,10 +112,11 @@ def child(args):
     res = evaluate_node_embeddings(emb, y)
     out = {
         "method": args.method, "seed": args.seed,
-        "avg_loss": summary.get("avg_loss"),
+        "avg_loss": avg_loss,
         "train_s": round(train_s, 1),
         "role": res,
         "eval_nodes": int(g.num_nodes),
+        "eval_pe": "eigh",
     }
     with open(os.path.join(args.out, "pe_ab.json"), "w") as f:
         json.dump(out, f)
@@ -125,8 +150,9 @@ def main():
                 print(f"[pe_ab] cached {arm} seed={seed}", flush=True)
                 continue
             env = dict(os.environ)
-            if arm == "subspace-g0":
-                env["GCC_TPU_PE_GUARDS"] = "0"
+            # Pin guards explicitly per arm so the A/B stays valid even if
+            # the library default changes (the retune this run informs).
+            env["GCC_TPU_PE_GUARDS"] = "0" if arm == "subspace-g0" else "16"
             cmd = [sys.executable, os.path.abspath(__file__), "--child",
                    "--method", arm, "--seed", str(seed), "--out", out,
                    "--epochs", str(args.epochs),

@@ -647,3 +647,42 @@ def test_featurize_stacked_routes_compact():
                                        err_msg=name)
         else:
             np.testing.assert_array_equal(got_a, want, err_msg=name)
+
+
+def test_pe_guards_profile_defaults(monkeypatch):
+    """Session-5 retune (docs/PERF.md): train profile runs guardless,
+    eval/generate keeps guards=16; GCC_TPU_PE_GUARDS overrides both."""
+    from gcc_tpu.features.positional import _pe_guards
+
+    monkeypatch.delenv("GCC_TPU_PE_GUARDS", raising=False)
+    assert _pe_guards("train") == 0
+    assert _pe_guards("eval") == 16
+    monkeypatch.setenv("GCC_TPU_PE_GUARDS", "4")
+    assert _pe_guards("train") == 4
+    assert _pe_guards("eval") == 4
+
+
+def test_pe_profile_changes_guard_path(monkeypatch):
+    """The profile actually reaches the kernel: eval-profile PE (guarded
+    generalized-RR) differs from train-profile PE on a graph whose tail
+    columns need guards, and explicit guards= overrides the profile."""
+    monkeypatch.delenv("GCC_TPU_PE_GUARDS", raising=False)
+    rng = np.random.default_rng(0)
+    n = 60
+    src = rng.integers(0, n, 400).astype(np.int32)
+    dst = rng.integers(0, n, 400).astype(np.int32)
+    keep = src != dst
+    sub = Subgraph(src=src[keep], dst=dst[keep], num_nodes=n, seed=0)
+    batch = batch_subgraphs([sub], n_max=64, e_max=512)
+    k = 16
+    train = np.asarray(laplacian_positional_embedding(
+        batch, k, method="subspace"))
+    ev = np.asarray(laplacian_positional_embedding(
+        batch, k, method="subspace", profile="eval"))
+    g16 = np.asarray(laplacian_positional_embedding(
+        batch, k, method="subspace", guards=16))
+    g0 = np.asarray(laplacian_positional_embedding(
+        batch, k, method="subspace", guards=0))
+    np.testing.assert_array_equal(ev, g16)
+    np.testing.assert_array_equal(train, g0)
+    assert np.abs(ev - train).max() > 1e-6
