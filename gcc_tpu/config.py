@@ -69,10 +69,11 @@ class ContrastConfig:
     nce_t: float = 0.07
     alpha: float = 0.999  # EMA momentum for the key encoder
     # Legacy non-softmax NCE normalization (reference
-    # memory_moco.py:45-52). Dead code in the reference — use_softmax is
-    # hardcoded True at its only call site (train.py:628) — so the train
-    # step rejects False with a pointer to the tested math
-    # (contrastive/losses.py legacy_nce_probs).
+    # memory_moco.py:45-52; dead code there — use_softmax is hardcoded
+    # True at its only call site, train.py:628). False selects it as a
+    # real MoCo training branch here: exp(l/T)/Z probabilities fed to the
+    # same CE criterion, Z estimated from the first batch and frozen in
+    # PretrainState.nce_z (contrastive/losses.py legacy_nce_probs).
     use_softmax: bool = True
 
 

@@ -24,16 +24,22 @@ def legacy_nce_probs(
     as Z = mean(exp) * n_data (the reference sets it once, from the first
     batch, and freezes it).
 
-    Returns (probs, z_used). Dead code in the reference (use_softmax is
-    hardcoded True at train.py:628); kept here as the tested equivalent —
-    not wired into the train step, which raises on use_softmax=False.
-    Note the reference then feeds these PROBABILITIES to CrossEntropyLoss
-    as if they were logits (criterions.py NCESoftmaxLoss) — reproduced
-    faithfully by composing with nce_softmax_loss.
+    Returns (probs, z_used). Dead code at reference defaults (use_softmax
+    is hardcoded True at train.py:628) but selectable here:
+    ContrastConfig(use_softmax=False) wires this into the MoCo train step
+    (training/pretrain.py moco_loss_and_prob), carrying z_used in
+    PretrainState.nce_z so Z freezes after the first batch exactly like
+    the reference's buffered scalar. Note the reference then feeds these
+    PROBABILITIES to CrossEntropyLoss as if they were logits
+    (criterions.py NCESoftmaxLoss) — reproduced faithfully by composing
+    with nce_softmax_loss.
     """
     out = jnp.exp(logits)  # logits already divided by T upstream
     z = jnp.asarray(z, jnp.float32)
-    z_used = jnp.where(z < 0, out.mean() * n_data, z)
+    # The reference's Z is a detached python float (memory_moco.py:48-49)
+    # — no gradient flows through the first-batch estimate.
+    z_used = jax.lax.stop_gradient(
+        jnp.where(z < 0, out.mean() * n_data, z))
     return out / z_used, z_used
 
 

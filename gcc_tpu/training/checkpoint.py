@@ -26,7 +26,7 @@ CONFIG_FILE = "config.json"
 # per-leaf tree to flat vectors). Recorded in the config sidecar so a
 # restore against an older layout fails with a readable message instead
 # of an opaque orbax structure mismatch.
-CKPT_FORMAT_VERSION = 2
+CKPT_FORMAT_VERSION = 3  # v3: PretrainState gained nce_z (legacy NCE Z)
 
 
 def save_checkpoint(path: str, state: Any, cfg: TrainConfig,

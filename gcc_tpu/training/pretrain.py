@@ -23,6 +23,7 @@ from gcc_tpu.contrastive import (
     e2e_logits,
     enqueue,
     init_queue,
+    legacy_nce_probs,
     moco_logits,
     nce_softmax_loss,
 )
@@ -49,6 +50,10 @@ class PretrainState(NamedTuple):
     opt_state: Any
     step: jax.Array
     dropout_rng: jax.Array
+    # Legacy non-softmax NCE normalizer Z (reference memory_moco.py:45-52):
+    # < 0 means "not yet estimated"; set from the first batch and frozen
+    # thereafter. Unused (passes through) when use_softmax=True.
+    nce_z: jax.Array
 
 
 def _as_padded(batch, n_max: int | None) -> PaddedSubgraphBatch:
@@ -101,6 +106,7 @@ def create_pretrain_state(
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         dropout_rng=dropout_rng,
+        nce_z=jnp.full((), -1.0, jnp.float32),
     )
     return state, enc, tx
 
@@ -115,14 +121,28 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
     moco = cfg.contrast.moco
     temperature = cfg.contrast.nce_t
     alpha = cfg.contrast.alpha
-    if not cfg.contrast.use_softmax:
-        raise NotImplementedError(
-            "use_softmax=False selects the reference's legacy non-softmax "
-            "NCE branch (memory_moco.py:45-52), which is dead code there "
-            "(hardcoded True at train.py:628). The math is implemented and "
-            "tested as gcc_tpu.contrastive.losses.legacy_nce_probs; it is "
-            "not wired into the train step."
-        )
+    use_softmax = cfg.contrast.use_softmax
+    # Legacy non-softmax NCE (reference memory_moco.py:45-52): the MoCo
+    # logits become exp(l/T)/Z probabilities with Z frozen from the first
+    # batch, then fed to the SAME CE criterion (the reference feeds the
+    # probabilities to NCESoftmaxLoss as if they were logits —
+    # train.py:634, criterions.py:5-17 — reproduced faithfully). n_data
+    # is the reference's MemoryMoCo outputSize = len(dataset)
+    # (train.py:627-628): samples per epoch across workers here. Dead
+    # code at reference defaults (use_softmax hardcoded True) but a real
+    # selectable branch, per SURVEY §2a. E2E ignores the flag, exactly
+    # like the reference (use_softmax lives only in MemoryMoCo).
+    n_data = max(1, cfg.num_samples * cfg.num_workers)
+
+    def moco_loss_and_prob(logits, z):
+        if use_softmax:
+            loss = nce_softmax_loss(
+                logits, jnp.zeros(logits.shape[0], jnp.int32))
+            return loss, logits[:, 0].mean(), z
+        probs, z_used = legacy_nce_probs(logits, n_data, z)
+        loss = nce_softmax_loss(
+            probs, jnp.zeros(logits.shape[0], jnp.int32))
+        return loss, probs[:, 0].mean(), z_used
 
     def step_from_feats(state: PretrainState, feats_q, feats_k):
         rng, new_rng = jax.random.split(state.dropout_rng)
@@ -165,15 +185,11 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
                 q_emb = emb2[0]
                 k_emb = jax.lax.stop_gradient(emb2[1])
                 logits = moco_logits(state.queue, q_emb, k_emb, temperature)
-                loss = nce_softmax_loss(
-                    logits, jnp.zeros(q_emb.shape[0], jnp.int32)
-                )
-                prob = logits[:, 0].mean()
-                return loss, (mut2["batch_stats"], k_emb, prob)
+                loss, prob, new_z = moco_loss_and_prob(logits, state.nce_z)
+                return loss, (mut2["batch_stats"], k_emb, prob, new_z)
 
-            (loss, (stats2_new, k_emb, prob)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            (loss, (stats2_new, k_emb, prob, new_z)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params))
             new_stats = jax.tree_util.tree_map(lambda x: x[0], stats2_new)
             ema_mut = {"batch_stats": jax.tree_util.tree_map(
                 lambda x: x[1], stats2_new)}
@@ -196,13 +212,10 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
                     rngs={"dropout": rng_q},
                 )
                 logits = moco_logits(state.queue, q_emb, k_emb, temperature)
-                loss = nce_softmax_loss(
-                    logits, jnp.zeros(q_emb.shape[0], jnp.int32)
-                )
-                prob = logits[:, 0].mean()
-                return loss, (mut["batch_stats"], prob)
+                loss, prob, new_z = moco_loss_and_prob(logits, state.nce_z)
+                return loss, (mut["batch_stats"], prob, new_z)
 
-            (loss, (new_stats, prob)), grads = jax.value_and_grad(
+            (loss, (new_stats, prob, new_z)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
         else:
@@ -250,6 +263,7 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
                 opt_state=new_opt_state,
                 step=state.step + 1,
                 dropout_rng=new_rng,
+                nce_z=new_z,
             )
         else:
             new_state = state._replace(

@@ -107,13 +107,87 @@ def test_legacy_nce_probs_matches_reference_recipe():
                                rtol=1e-5)
 
 
-def test_use_softmax_false_raises():
-    from gcc_tpu.models import GraphEncoder
-    from gcc_tpu.training.pretrain import make_step_from_feats
+def test_use_softmax_false_trains_with_frozen_z(monkeypatch):
+    """Legacy non-softmax NCE as a real training branch (reference
+    memory_moco.py:45-52): step-1 loss matches an independently composed
+    oracle (explicit q/k forwards -> moco_logits -> legacy_nce_probs ->
+    CE), Z is estimated on the first step and FROZEN on the second, and
+    the merged-qk step agrees with the unmerged one."""
+    import jax.numpy as jnp
 
-    cfg = TrainConfig(contrast=ContrastConfig(moco=True, use_softmax=False))
-    with pytest.raises(NotImplementedError, match="legacy_nce_probs"):
-        make_step_from_feats(cfg, GraphEncoder(cfg.encoder), None)
+    from gcc_tpu.contrastive import legacy_nce_probs, moco_logits
+    from gcc_tpu.contrastive import nce_softmax_loss
+    from gcc_tpu.features import featurize_batch
+    from gcc_tpu.training.pretrain import make_train_step
+
+    rng = np.random.default_rng(11)
+    g = CSRGraph.from_edges(
+        rng.integers(0, 300, 1500), rng.integers(0, 300, 1500),
+        num_nodes=300, symmetrize=True,
+    )
+    cfg = TrainConfig(
+        batch_size=8,
+        num_samples=40,
+        num_workers=2,
+        sampler=SamplerConfig(rw_hops=12),
+        encoder=EncoderConfig(hidden_size=16, output_size=16,
+                              positional_embedding_size=8,
+                              degree_embedding_size=4, pe_method="eigh"),
+        contrast=ContrastConfig(moco=True, nce_k=64, use_softmax=False),
+        optim=OptimConfig(learning_rate=0.01),
+    )
+    qs, ks = sample_contrastive_pairs(
+        g, rng.integers(0, 300, 8), cfg.sampler, rng_seed=0
+    )
+    bq = batch_subgraphs(qs, n_max=32, e_max=256)
+    bk = batch_subgraphs(ks, n_max=32, e_max=256)
+    state, enc, tx = create_pretrain_state(
+        jax.random.PRNGKey(0), cfg, bq, total_steps=100
+    )
+    assert float(state.nce_z) < 0
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    # Oracle: replicate the unmerged branch's forwards with the step's
+    # exact rng splits, then compose the tested loss pieces explicitly.
+    rng0, _ = jax.random.split(state.dropout_rng)
+    rng_q, rng_k = jax.random.split(rng0)
+    fq = featurize_batch(bq, cfg.encoder.positional_embedding_size)
+    fk = featurize_batch(bk, cfg.encoder.positional_embedding_size)
+    k_emb, _ = enc.apply(
+        {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+        fk, train=True, mutable=["batch_stats"], rngs={"dropout": rng_k},
+    )
+    q_emb, _ = enc.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        fq, train=True, mutable=["batch_stats"], rngs={"dropout": rng_q},
+    )
+    logits = moco_logits(state.queue, q_emb, k_emb, cfg.contrast.nce_t)
+    probs, z_oracle = legacy_nce_probs(
+        logits, cfg.num_samples * cfg.num_workers, z=-1.0)
+    loss_oracle = nce_softmax_loss(
+        probs, jnp.zeros(probs.shape[0], jnp.int32))
+
+    monkeypatch.setenv("GCC_TPU_MERGED_QK", "0")
+    s1, m1 = make_train_step(cfg, enc, tx)(copy(state), bq, bk)
+    np.testing.assert_allclose(float(m1["loss"]), float(loss_oracle),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(s1.nce_z), float(z_oracle), rtol=1e-4)
+    assert float(s1.nce_z) > 0
+
+    # Merged path agrees.
+    monkeypatch.setenv("GCC_TPU_MERGED_QK", "1")
+    s1m, m1m = make_train_step(cfg, enc, tx)(copy(state), bq, bk)
+    np.testing.assert_allclose(float(m1m["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(s1m.nce_z), float(s1.nce_z), rtol=1e-5)
+
+    # Second step freezes Z (params changed, so a re-estimate would not
+    # reproduce the same value).
+    monkeypatch.setenv("GCC_TPU_MERGED_QK", "0")
+    s2, m2 = make_train_step(cfg, enc, tx)(copy(s1), bq, bk)
+    np.testing.assert_allclose(float(s2.nce_z), float(s1.nce_z), rtol=0,
+                               atol=0)
+    assert np.isfinite(float(m2["loss"]))
 
 
 def test_warmup_linear():
