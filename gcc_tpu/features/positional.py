@@ -392,16 +392,18 @@ def _rr_method() -> str:
 
 
 def _jacobi_layout() -> str:
-    """Memory layout for the RR Jacobi finishes: "lane" (default,
-    (..., n, n) with n on the lane axis) or "bm" (batch-minor: rounds
-    run as (n, n, B) with the batch on the lane axis — zero lane-pad
-    waste when B >> n, as in the hoisted featurize where B ≈ 2048 and
-    n = 32-48). Numerically identical (tests/test_ops_features.py
-    test_jacobi_eigh_bm_equals_lane); select via GCC_TPU_JACOBI_LAYOUT
-    for on-chip A/B."""
+    """Memory layout for the RR Jacobi finishes: "bm" (default,
+    batch-minor: rounds run as (n, n, B) with the batch on the lane
+    axis — zero lane-pad waste when B >> n, as in the hoisted featurize
+    where B ≈ 2048 and n = 32-48) or "lane" ((..., n, n) with n on the
+    lane axis). Numerically identical (tests/test_ops_features.py
+    test_jacobi_eigh_bm_equals_lane); bm measured a stable 0.8% faster
+    on the full device step (0.628 vs 0.633 ms across 5 device-resident
+    round-robin trials, scripts/diag_step_ab2.py — docs/PERF.md
+    Session 5). Select via GCC_TPU_JACOBI_LAYOUT."""
     import os
 
-    return os.environ.get("GCC_TPU_JACOBI_LAYOUT", "lane")
+    return os.environ.get("GCC_TPU_JACOBI_LAYOUT", "bm")
 
 
 def _rr_sweeps() -> int:

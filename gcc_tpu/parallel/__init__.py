@@ -1,21 +1,27 @@
 from gcc_tpu.parallel.mesh import make_mesh
 from gcc_tpu.parallel.partitioned import (
+    DensePartitionedGraph,
     PartitionedGraph,
     RingPartitionedGraph,
+    partition_dense,
     partition_edges,
     partition_edges_ring,
     partitioned_aggregate,
     partitioned_aggregate_batched,
+    partitioned_aggregate_dense,
     partitioned_aggregate_ring,
 )
 
 __all__ = [
     "make_mesh",
+    "DensePartitionedGraph",
     "PartitionedGraph",
     "RingPartitionedGraph",
+    "partition_dense",
     "partition_edges",
     "partition_edges_ring",
     "partitioned_aggregate",
     "partitioned_aggregate_batched",
+    "partitioned_aggregate_dense",
     "partitioned_aggregate_ring",
 ]

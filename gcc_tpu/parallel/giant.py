@@ -6,11 +6,14 @@ nodes) do not fit one chip's dense adjacency. This module runs the same
 GIN encoder semantics over a graph whose edges are partitioned across
 the "part" mesh axis and whose node features are row-sharded:
 aggregation via :func:`partitioned_aggregate` (all-gather + local
-segment-sum + psum-scatter on ICI) or, when given a
-:class:`RingPartitionedGraph`, the latency-hiding ring schedule of
+segment-sum + psum-scatter on ICI), the latency-hiding ring schedule of
 :func:`partitioned_aggregate_ring` (ppermute overlapped with local
-segment-sums, no reduce-scatter); MLPs/BN applied shard-locally, a
-global masked-sum readout per layer.
+segment-sums, no reduce-scatter) when given a
+:class:`RingPartitionedGraph`, or — measured-preferred on chip
+(docs/PERF.md "Partitioned aggregation": 2-5x over the segment path) —
+the shard-local dense MXU block of :func:`partitioned_aggregate_dense`
+when given a :class:`DensePartitionedGraph`; MLPs/BN applied
+shard-locally, a global masked-sum readout per layer.
 
 Parameters are the standard GraphEncoder/UnsupervisedGIN params — a
 checkpoint pretrained on the subgraph path evaluates on giant graphs
@@ -23,9 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from gcc_tpu.parallel.partitioned import (
+    DensePartitionedGraph,
     PartitionedGraph,
     RingPartitionedGraph,
     partitioned_aggregate,
+    partitioned_aggregate_dense,
     partitioned_aggregate_ring,
 )
 
@@ -54,9 +59,15 @@ def giant_gin_encode(
     "part"; node_mask: (N,) 1.0 for real nodes. Returns the graph-level
     embedding (output_dim,), L2-normalized like the subgraph path.
     """
-    aggregate = (partitioned_aggregate_ring
-                 if isinstance(pg, RingPartitionedGraph)
-                 else partitioned_aggregate)
+    if isinstance(pg, RingPartitionedGraph):
+        aggregate = partitioned_aggregate_ring
+    elif isinstance(pg, DensePartitionedGraph):
+        # Preferred shard-local form: the dense MXU block beats the
+        # segment-sum path 2-5x on chip (docs/PERF.md "Partitioned
+        # aggregation") and needs no reduce-scatter.
+        aggregate = partitioned_aggregate_dense
+    else:
+        aggregate = partitioned_aggregate
     gin_p = params["UnsupervisedGIN_0"]
     gin_s = batch_stats["UnsupervisedGIN_0"]
     h = node_feat * node_mask[:, None]

@@ -150,6 +150,71 @@ def giant_graph_embedding_oracle(pg: PartitionedGraph,
     return out
 
 
+class DensePartitionedGraph(NamedTuple):
+    """Row-block DENSE partition of one giant graph's adjacency.
+
+    On-chip measurement (docs/PERF.md "Partitioned aggregation") shows
+    the dense MXU product beats the gather/segment-sum path at every
+    point up to n=8192 (163M vs 71M edge-msgs/s at deg=32; the segment
+    path is serial-VPU-bound) — so once shards carry a padded block
+    adjacency, the shard-local work should be a matmul. Each device owns
+    the (rows_per, N) block of adjacency rows for the output rows it
+    owns; aggregation is then ONE all_gather + ONE MXU matmul and needs
+    no reduce-scatter at all (a row block covers every incoming edge of
+    its rows). Memory: N²/D f32 per device — the partitioned path's
+    operating regime (N ≈ 8-64k) fits comfortably where the single-chip
+    dense path (N² on one chip) does not.
+
+    adj: (D, rows_per, N) float32 — adj[d, v_local, u] = Σ w(u→v).
+    num_nodes: padded node count (multiple of D).
+    """
+
+    adj: np.ndarray
+    num_nodes: int
+
+
+def partition_dense(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                    num_devices: int,
+                    weight: np.ndarray | None = None
+                    ) -> DensePartitionedGraph:
+    """Build the row-block dense partition (multi-edges accumulate)."""
+    d_cnt = num_devices
+    n_pad = -(-num_nodes // d_cnt) * d_cnt
+    rows_per = n_pad // d_cnt
+    w = (np.ones(len(src), np.float32) if weight is None
+         else np.asarray(weight, np.float32))
+    adj = np.zeros((d_cnt, rows_per, n_pad), np.float32)
+    dst = np.asarray(dst, np.int64)
+    np.add.at(adj, (dst // rows_per, dst % rows_per, np.asarray(src)), w)
+    return DensePartitionedGraph(adj=adj, num_nodes=n_pad)
+
+
+def partitioned_aggregate_dense(pg: DensePartitionedGraph, h: jax.Array,
+                                mesh: Mesh, axis: str = "part"
+                                ) -> jax.Array:
+    """out[v] = Σ_{(u→v)} w · h[u] via the shard-local dense MXU block.
+
+    h: (num_nodes, F) sharded over `axis` on dim 0 — returns the same
+    sharding. One all_gather over ICI, one (rows_per, N) x (N, F)
+    matmul; the accumulator IS the output shard (no reduce-scatter)."""
+
+    def local(adj, h_shard):
+        hg = jax.lax.all_gather(h_shard, axis, tiled=True)   # (N, F)
+        return jax.lax.dot_general(
+            adj[0], hg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )(jnp.asarray(pg.adj), h)
+
+
 class RingPartitionedGraph(NamedTuple):
     """Owner-bucketed edge partition for the ring (latency-hiding) path.
 

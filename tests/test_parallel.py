@@ -70,6 +70,31 @@ def test_partitioned_aggregate_jits_and_grads():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_partitioned_aggregate_dense_matches_oracle():
+    """Row-block dense MXU aggregation == the segment-path numpy oracle,
+    including weighted multi-edges, with the output shard never leaving
+    its node sharding (no reduce-scatter exists on this path)."""
+    from gcc_tpu.parallel import partition_dense, partitioned_aggregate_dense
+
+    rng = np.random.default_rng(4)
+    n, e, f, d = 64, 500, 16, 8
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.uniform(0.5, 2.0, e).astype(np.float32)
+    dpg = partition_dense(src, dst, num_nodes=n, num_devices=d, weight=w)
+    h = rng.normal(size=(dpg.num_nodes, f)).astype(np.float32)
+
+    mesh = make_mesh(data=1, part=8)
+    h_sharded = jax.device_put(jnp.asarray(h),
+                               NamedSharding(mesh, P("part")))
+    out = partitioned_aggregate_dense(dpg, h_sharded, mesh)
+    # Oracle straight from the edge list.
+    oracle = np.zeros_like(h)
+    np.add.at(oracle, dst, h[src] * w[:, None])
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+    assert out.sharding.spec == P("part")
+
+
 def test_ring_partition_buckets_cover_all_edges():
     from gcc_tpu.parallel import partition_edges_ring
 
@@ -375,6 +400,18 @@ def test_giant_gin_matches_dense_path():
         num_layers=cfg.num_layers,
     ))
     np.testing.assert_allclose(ring_out, dense_out, atol=2e-4)
+
+    # Dense row-block aggregation (the measured-preferred shard-local
+    # form, docs/PERF.md "Partitioned aggregation"): same result again.
+    from gcc_tpu.parallel import partition_dense
+
+    dpg = partition_dense(s, d, num_nodes=n, num_devices=d_dev)
+    assert dpg.num_nodes == pg.num_nodes
+    dense_pg_out = np.asarray(giant_gin_encode(
+        variables["params"], variables["batch_stats"], dpg, h, m, mesh,
+        num_layers=cfg.num_layers,
+    ))
+    np.testing.assert_allclose(dense_pg_out, dense_out, atol=2e-4)
 
 
 def test_run_pretrain_dp_matches_single_device(tmp_path):
