@@ -50,8 +50,10 @@ NCE_K = 16384
 WARMUP_STEPS = 16
 # The relay host cycles through minute-scale fast/slow phases (~2x);
 # measure for ~20-30s so the median chunk reflects steady state rather
-# than whichever phase the run started in.
-MEASURE_STEPS = 3840
+# than whichever phase the run started in. 15360 steps -> 12 chunks of
+# ~1.9s at ~1000 steps/s (the r3 head run's 480-step chunks were ~0.4s
+# — under the >=1s window floor — and spread 25-38M on phase noise).
+MEASURE_STEPS = 15360
 # lax.scan-unrolled steps per device dispatch; the training state crosses
 # the dispatch boundary packed into 3 flat arrays (training/packed.py).
 STEPS_PER_CALL = int(os.environ.get("GCC_TPU_BENCH_SCAN", "64"))
