@@ -76,7 +76,7 @@ def _fused_featurize_mode() -> str:
 def featurize_compact(
     edges: jax.Array, meta: jax.Array, n_max: int, id_bits: int,
     pos_size: int, pe_method: str = "eigh", e_cap: int | None = None,
-    profile: str = "train",
+    profile: str = "train", allow_fused: bool = True,
 ) -> BatchFeatures:
     """Featurize stacked compact wire segments without padded expansion.
 
@@ -103,7 +103,7 @@ def featurize_compact(
     seed_flag = (iota == seed_pos[:, None]).astype(jnp.float32) * node_mask
     mb = _MaskBatch(node_mask=node_mask, n_nodes=n_nodes)
     fused = _fused_featurize_mode()
-    if (fused and pe_method == "subspace" and n_max <= 128
+    if (fused and allow_fused and pe_method == "subspace" and n_max <= 128
             and id_bits == 8 and e_cap is not None):
         # One-pass kernel: adjacency + shifted PE operator + degrees,
         # each written once (replaces the serial scatter + the

@@ -115,7 +115,13 @@ def fused_adjacency_featurize(edges: jax.Array, meta: jax.Array,
     base = (jnp.arange(s, dtype=jnp.int32) * e_tot)[:, None]
     offs = (base + (cum - counts)).reshape(s * b)        # flat offsets
     flat = edges.reshape(-1).astype(jnp.int32) & 0xFFFF  # uint16 -> u16 bits
+    # Pad the window width to a whole number of chunks: the kernel's ref
+    # slice would otherwise clamp the last chunk narrower than the iota
+    # one-hots (shape mismatch for any e_cap > _CHUNK not a multiple of
+    # it). Padding slots are sentinel-filled, so they cost only VMEM.
     w = int(e_cap)
+    if w > _CHUNK and w % _CHUNK:
+        w += _CHUNK - w % _CHUNK
     idx = offs[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]
     live = jnp.arange(w, dtype=jnp.int32)[None, :] < counts_f[:, None]
     # Windows also must not cross their own segment's end: slots past

@@ -4,6 +4,7 @@ from gcc_tpu.parallel.partitioned import (
     PartitionedGraph,
     RingPartitionedGraph,
     partition_dense,
+    shard_dense_partition,
     partition_edges,
     partition_edges_ring,
     partitioned_aggregate,
@@ -18,6 +19,7 @@ __all__ = [
     "PartitionedGraph",
     "RingPartitionedGraph",
     "partition_dense",
+    "shard_dense_partition",
     "partition_edges",
     "partition_edges_ring",
     "partitioned_aggregate",

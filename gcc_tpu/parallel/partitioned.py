@@ -177,7 +177,14 @@ def partition_dense(src: np.ndarray, dst: np.ndarray, num_nodes: int,
                     num_devices: int,
                     weight: np.ndarray | None = None
                     ) -> DensePartitionedGraph:
-    """Build the row-block dense partition (multi-edges accumulate)."""
+    """Build the row-block dense partition (multi-edges accumulate).
+
+    Builds the full (D, rows_per, N) block stack in host memory — at
+    the giant-graph operating points (N ≈ 8-64k) that is 0.25-16 GB, so
+    at the large end build on the host that owns the corpus and place
+    with :func:`shard_dense_partition` BEFORE any jit (per-shard
+    streaming construction is the obvious extension if host RAM ever
+    binds before device HBM does)."""
     d_cnt = num_devices
     n_pad = -(-num_nodes // d_cnt) * d_cnt
     rows_per = n_pad // d_cnt
@@ -189,6 +196,20 @@ def partition_dense(src: np.ndarray, dst: np.ndarray, num_nodes: int,
     return DensePartitionedGraph(adj=adj, num_nodes=n_pad)
 
 
+def shard_dense_partition(pg: DensePartitionedGraph, mesh: Mesh,
+                          axis: str = "part") -> DensePartitionedGraph:
+    """Place pg.adj sharded over `axis` (dim 0, one block per device).
+
+    Call OUTSIDE jit before training/encoding at scale: a numpy adj
+    closed over by a jitted caller would otherwise land on one device
+    (or bake an N² constant into the program — against the repo
+    convention). The aggregate below accepts either form; only the
+    pre-placed one is safe past toy sizes."""
+    placed = jax.device_put(np.asarray(pg.adj),
+                            NamedSharding(mesh, P(axis)))
+    return pg._replace(adj=placed)
+
+
 def partitioned_aggregate_dense(pg: DensePartitionedGraph, h: jax.Array,
                                 mesh: Mesh, axis: str = "part"
                                 ) -> jax.Array:
@@ -196,7 +217,8 @@ def partitioned_aggregate_dense(pg: DensePartitionedGraph, h: jax.Array,
 
     h: (num_nodes, F) sharded over `axis` on dim 0 — returns the same
     sharding. One all_gather over ICI, one (rows_per, N) x (N, F)
-    matmul; the accumulator IS the output shard (no reduce-scatter)."""
+    matmul; the accumulator IS the output shard (no reduce-scatter).
+    At scale, pass a pg placed by :func:`shard_dense_partition`."""
 
     def local(adj, h_shard):
         hg = jax.lax.all_gather(h_shard, axis, tiled=True)   # (N, F)

@@ -132,7 +132,9 @@ def make_step_from_feats(cfg: TrainConfig, enc: GraphEncoder, tx):
     # code at reference defaults (use_softmax hardcoded True) but a real
     # selectable branch, per SURVEY §2a. E2E ignores the flag, exactly
     # like the reference (use_softmax lives only in MemoryMoCo).
-    n_data = max(1, cfg.num_samples * cfg.num_workers)
+    # num_workers=0 is the synchronous in-process mode — one logical
+    # worker, like loop.py/_spe and pipeline.steps_per_epoch count it.
+    n_data = cfg.num_samples * max(1, cfg.num_workers)
 
     def moco_loss_and_prob(logits, z):
         if use_softmax:
@@ -343,9 +345,16 @@ def featurize_stacked_dp(wires_q: CompactWireBatch,
     meta = jnp.stack([wires_q.meta, wires_k.meta], axis=2)     # (K,D,2,3,b)
 
     def one(e, m):
+        # allow_fused=False: this route runs under vmap, and a vmapped
+        # pallas_call lowers through the batching rule (extra grid dim +
+        # batched scalar prefetch) — a lowering nothing validates on
+        # chip. The fused kernel is a measured 2.3x LOSS anyway
+        # (docs/PERF.md lever 7b); keep the DP route on the XLA chain
+        # unconditionally.
         return featurize_compact(
             e.reshape(d * 2, e_dev), m.reshape(d * 2, 3, b),
             n_max, wires_q.id_bits, pos_size, pe_method, e_cap=wires_q.e_max,
+            allow_fused=False,
         )
 
     return jax.vmap(one)(edges, meta)

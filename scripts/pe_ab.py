@@ -65,18 +65,29 @@ def child(args):
         num_workers=1, mode="thread", emit="routed", super_batch=62,
         n_small=128,
     )
-    # Resume: if a finished run (a 'current' checkpoint) already exists
-    # in args.out, skip straight to eval — a crash in the eval phase must
-    # not cost the ~40-minute training+compile again.
-    done_ckpts = glob.glob(os.path.join(args.out, "*", "current"))
+    # Resume: if a FINISHED run already exists in args.out, skip straight
+    # to eval — a crash in the eval phase must not cost the ~40-minute
+    # training+compile again. 'current' alone is not a completion marker
+    # (loop.py writes it every epoch); require the full step count.
+    expected_steps = args.epochs * (cfg.num_samples
+                                    * max(1, cfg.num_workers)
+                                    // cfg.batch_size)
+    run_dir = None
+    for ck in glob.glob(os.path.join(args.out, "*", "current")):
+        cand = os.path.dirname(ck)
+        mpath = os.path.join(cand, "metrics.jsonl")
+        if not os.path.exists(mpath):
+            continue
+        losses = [json.loads(l)["loss"] for l in open(mpath)]
+        if len(losses) >= expected_steps:
+            run_dir = cand
+            break
     t0 = time.time()
-    if done_ckpts:
-        run_dir = os.path.dirname(done_ckpts[0])
-        losses = [json.loads(l)["loss"] for l in
-                  open(os.path.join(run_dir, "metrics.jsonl"))]
+    if run_dir is not None:
         per_epoch = max(1, len(losses) // max(1, args.epochs))
         avg_loss = float(np.mean(losses[-per_epoch:]))
-        print(f"[child] reusing finished run {run_dir}", flush=True)
+        print(f"[child] reusing finished run {run_dir} "
+              f"({len(losses)} steps)", flush=True)
     else:
         summary = run_pretrain(cfg, corpus, args.out, pcfg=pcfg,
                                steps_per_call=62)

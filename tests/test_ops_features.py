@@ -686,3 +686,33 @@ def test_pe_profile_changes_guard_path(monkeypatch):
     np.testing.assert_array_equal(ev, g16)
     np.testing.assert_array_equal(train, g0)
     assert np.abs(ev - train).max() > 1e-6
+
+
+def test_fused_featurize_nonmultiple_chunk_width():
+    """e_cap > 512 and not a multiple of the 512-edge chunk must work:
+    the wrapper pads the window width to a whole number of chunks
+    (sentinel-filled) instead of letting the last ref slice clamp
+    narrower than the iota one-hots (a trace-time crash pre-fix)."""
+    from gcc_tpu.ops.aggregate import build_dense_adjacency_compact
+    from gcc_tpu.ops.featurize_pallas import fused_adjacency_featurize
+
+    rng = np.random.default_rng(13)
+    s, b, n_max, e_tot = 2, 2, 64, 1400
+    edges, meta, id_bits, _ = _random_compact_segments(
+        rng, s, b, n_max, e_tot)
+    assert id_bits == 8
+    n_nodes = meta[:, 0, :].reshape(s * b)
+    iota = np.arange(n_max, dtype=np.int32)[None, :]
+    node_mask = (iota < n_nodes[:, None]).astype(np.float32)
+
+    e_cap = 600  # > 512, not a multiple of 512
+    assert int(meta[:, 1, :].max()) <= e_cap
+    adj, _, deg = fused_adjacency_featurize(
+        jnp.asarray(edges), jnp.asarray(meta), jnp.asarray(node_mask),
+        n_max, e_cap, interpret=True)
+    want_adj = np.asarray(jax.jit(
+        lambda ed, me: build_dense_adjacency_compact(ed, me[:, 1, :],
+                                                     n_max, id_bits)
+    )(edges, meta))
+    np.testing.assert_array_equal(np.asarray(adj), want_adj)
+    np.testing.assert_array_equal(np.asarray(deg), want_adj.sum(axis=2))

@@ -74,7 +74,9 @@ def test_partitioned_aggregate_dense_matches_oracle():
     """Row-block dense MXU aggregation == the segment-path numpy oracle,
     including weighted multi-edges, with the output shard never leaving
     its node sharding (no reduce-scatter exists on this path)."""
-    from gcc_tpu.parallel import partition_dense, partitioned_aggregate_dense
+    from gcc_tpu.parallel import (partition_dense,
+                                  partitioned_aggregate_dense,
+                                  shard_dense_partition)
 
     rng = np.random.default_rng(4)
     n, e, f, d = 64, 500, 16, 8
@@ -85,6 +87,10 @@ def test_partitioned_aggregate_dense_matches_oracle():
     h = rng.normal(size=(dpg.num_nodes, f)).astype(np.float32)
 
     mesh = make_mesh(data=1, part=8)
+    # The pre-placed sharded form (one block per device) is the
+    # at-scale contract; validate through it.
+    dpg = shard_dense_partition(dpg, mesh)
+    assert dpg.adj.sharding.spec == P("part")
     h_sharded = jax.device_put(jnp.asarray(h),
                                NamedSharding(mesh, P("part")))
     out = partitioned_aggregate_dense(dpg, h_sharded, mesh)
