@@ -62,9 +62,13 @@ def giant_gin_encode(
     if isinstance(pg, RingPartitionedGraph):
         aggregate = partitioned_aggregate_ring
     elif isinstance(pg, DensePartitionedGraph):
-        # Preferred shard-local form: the dense MXU block beats the
-        # segment-sum path 2-5x on chip (docs/PERF.md "Partitioned
-        # aggregation") and needs no reduce-scatter.
+        # Shard-local dense MXU form: no reduce-scatter, and measured
+        # 1.4-2.6x faster END-TO-END when density >= ~0.4% or N <= ~4k;
+        # in the very-sparse giant regime (N >= 8k, deg <~ 8) the
+        # segment/ring schedules win instead — the MLP/BN layers evict
+        # the big adjacency between aggregations (docs/PERF.md
+        # "Partitioned aggregation", diag_giant.py). The caller picks
+        # the schedule by the partition type it builds.
         aggregate = partitioned_aggregate_dense
     else:
         aggregate = partitioned_aggregate
