@@ -21,6 +21,29 @@ torch_kernel_init = nn.initializers.variance_scaling(
 )
 
 
+def linear_apply(p, x):
+    """Apply a Linear param subtree {kernel[, bias]} functionally.
+
+    The single shared implementation of the affine map for BOTH the Flax
+    module below and params-compatible out-of-module paths (the
+    giant-graph encoder, parallel/giant.py) — so the math cannot
+    diverge between them."""
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def bn_eval_apply(p, stats, x, eps: float = 1e-5):
+    """Eval-mode MaskedBatchNorm from a param/stats subtree.
+
+    Shared by MaskedBatchNorm's use_running_average branch and the
+    giant-graph encoder (parallel/giant.py) — one implementation of the
+    normalization math for every params-compatible consumer."""
+    y = (x - stats["mean"]) * jax.lax.rsqrt(stats["var"] + eps)
+    return y * p["scale"] + p["offset"]
+
+
 def torch_bias_init(key, shape, dtype, fan_in):
     bound = 1.0 / (fan_in ** 0.5)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -38,16 +61,15 @@ class Linear(nn.Module):
         kernel = self.param(
             "kernel", torch_kernel_init, (fan_in, self.features), jnp.float32
         )
-        y = x @ kernel
+        p = {"kernel": kernel}
         if self.use_bias:
-            bias = self.param(
+            p["bias"] = self.param(
                 "bias",
                 lambda k, s, d: torch_bias_init(k, s, d, fan_in),
                 (self.features,),
                 jnp.float32,
             )
-            y = y + bias
-        return y
+        return linear_apply(p, x)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -78,7 +100,11 @@ class MaskedBatchNorm(nn.Module):
         offset = self.param("offset", nn.initializers.zeros, (f,), jnp.float32)
 
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            return bn_eval_apply(
+                {"scale": scale, "offset": offset},
+                {"mean": ra_mean.value, "var": ra_var.value},
+                x, eps=self.epsilon,
+            )
         else:
             m = mask[..., None]
             count = jnp.maximum(mask.sum(), 1.0)

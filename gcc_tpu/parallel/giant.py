@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gcc_tpu.models.layers import bn_eval_apply as _bn_eval
+from gcc_tpu.models.layers import linear_apply as _linear
 from gcc_tpu.parallel.partitioned import (
     DensePartitionedGraph,
     PartitionedGraph,
@@ -34,13 +36,10 @@ from gcc_tpu.parallel.partitioned import (
     partitioned_aggregate_ring,
 )
 
-
-def _linear(p, x):
-    return x @ p["kernel"] + p["bias"]
-
-
-def _bn_eval(p, s, x, eps=1e-5):
-    return (x - s["mean"]) * jax.lax.rsqrt(s["var"] + eps) * p["scale"] + p["offset"]
+# The affine/BN math here is the SAME functions the Flax modules apply
+# (models/layers.py linear_apply / bn_eval_apply) — the giant path cannot
+# drift from the subgraph encoder; params compatibility is additionally
+# pinned by tests/test_parallel.py.
 
 
 def giant_gin_encode(

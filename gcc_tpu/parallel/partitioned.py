@@ -205,6 +205,12 @@ def shard_dense_partition(pg: DensePartitionedGraph, mesh: Mesh,
     (or bake an N² constant into the program — against the repo
     convention). The aggregate below accepts either form; only the
     pre-placed one is safe past toy sizes."""
+    if pg.adj.shape[0] != mesh.shape[axis]:
+        raise ValueError(
+            f"dense partition built for {pg.adj.shape[0]} devices but "
+            f"mesh axis {axis!r} has {mesh.shape[axis]} — rebuild with "
+            f"partition_dense(..., num_devices={mesh.shape[axis]})"
+        )
     placed = jax.device_put(np.asarray(pg.adj),
                             NamedSharding(mesh, P(axis)))
     return pg._replace(adj=placed)
@@ -219,6 +225,13 @@ def partitioned_aggregate_dense(pg: DensePartitionedGraph, h: jax.Array,
     sharding. One all_gather over ICI, one (rows_per, N) x (N, F)
     matmul; the accumulator IS the output shard (no reduce-scatter).
     At scale, pass a pg placed by :func:`shard_dense_partition`."""
+    if pg.adj.shape[0] != mesh.shape[axis]:
+        # The shard-local body reads adj[0]; a partition built for a
+        # different device count would silently drop adjacency blocks.
+        raise ValueError(
+            f"dense partition has {pg.adj.shape[0]} row blocks but mesh "
+            f"axis {axis!r} has {mesh.shape[axis]} devices"
+        )
 
     def local(adj, h_shard):
         hg = jax.lax.all_gather(h_shard, axis, tiled=True)   # (N, F)

@@ -52,11 +52,30 @@ def save_checkpoint(path: str, state: Any, cfg: TrainConfig,
 
 def load_checkpoint(target: str, abstract_state: Any | None = None) -> Any:
     """Restore a state pytree. Pass the current state (or a matching
-    abstract pytree) to restore with correct dtypes/structure."""
+    abstract pytree) to restore with correct dtypes/structure.
+
+    v2→v3 compatibility: v3 added the single scalar leaf ``nce_z``
+    (legacy-NCE normalizer, default -1.0 = "uninitialized"). A v2
+    checkpoint restored against a v3 abstract state gets that leaf
+    filled with the default instead of being rejected — the only
+    structural difference is the one well-defined scalar."""
     ckptr = ocp.PyTreeCheckpointer()
     try:
         if abstract_state is not None:
-            return ckptr.restore(os.path.abspath(target), item=abstract_state)
+            try:
+                return ckptr.restore(os.path.abspath(target),
+                                     item=abstract_state)
+            except (ValueError, KeyError):
+                if not (isinstance(abstract_state, dict)
+                        and "nce_z" in abstract_state):
+                    raise
+                import jax.numpy as jnp
+
+                legacy = dict(abstract_state)
+                legacy.pop("nce_z")
+                restored = ckptr.restore(os.path.abspath(target), item=legacy)
+                restored["nce_z"] = jnp.full((), -1.0, jnp.float32)
+                return restored
         return ckptr.restore(os.path.abspath(target))
     except (ValueError, KeyError) as e:
         raise ValueError(

@@ -78,7 +78,14 @@ def child(args):
         mpath = os.path.join(cand, "metrics.jsonl")
         if not os.path.exists(mpath):
             continue
-        losses = [json.loads(l)["loss"] for l in open(mpath)]
+        # Tolerate a truncated trailing line: a killed run (the exact
+        # scenario this resume targets) can leave a partial JSON record.
+        losses = []
+        for l in open(mpath):
+            try:
+                losses.append(json.loads(l)["loss"])
+            except (json.JSONDecodeError, KeyError):
+                continue
         if len(losses) >= expected_steps:
             run_dir = cand
             break

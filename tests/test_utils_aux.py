@@ -126,3 +126,27 @@ def test_ingest_edgelists_roundtrip(tmp_path):
     assert g0.num_edges == 20          # 5*4 directed, no self loops
     g1 = store.load(1)
     assert g1.num_nodes == 3 and g1.num_edges == 4
+
+
+def test_checkpoint_v2_restore_fills_nce_z(tmp_path):
+    """A v2 checkpoint (no nce_z leaf) restores against the v3 abstract
+    state with nce_z filled to its -1.0 default instead of erroring
+    (checkpoint.py load_checkpoint v2->v3 compatibility)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from gcc_tpu.training.checkpoint import load_checkpoint
+
+    v2_state = {"params": {"w": np.ones((3,), np.float32)},
+                "step": np.int32(7)}
+    target = str(tmp_path / "ckpt_v2")
+    ocp.PyTreeCheckpointer().save(target, v2_state)
+
+    abstract = {"params": {"w": np.zeros((3,), np.float32)},
+                "step": np.int32(0),
+                "nce_z": jnp.full((), 0.0, jnp.float32)}
+    restored = load_checkpoint(target, abstract_state=abstract)
+    assert float(restored["nce_z"]) == -1.0
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  v2_state["params"]["w"])
+    assert int(restored["step"]) == 7
