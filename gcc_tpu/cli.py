@@ -201,9 +201,7 @@ def cmd_generate(args):
     import jax
 
     from gcc_tpu.training.checkpoint import load_checkpoint, load_config
-    from gcc_tpu.generate import (
-        generate_embeddings, graph_subgraphs, node_subgraphs,
-    )
+    from gcc_tpu.generate import generate_embeddings, node_subgraphs
     from gcc_tpu.data.formats import GRAPH_CLASSIFICATION_DSETS
 
     run_dir = os.path.dirname(args.ckpt)
@@ -216,17 +214,22 @@ def cmd_generate(args):
 
     if args.dataset in GRAPH_CLASSIFICATION_DSETS:
         from gcc_tpu.data.tu import load_tu_dataset
+        from gcc_tpu.generate import generate_graph_embeddings
 
         graphs, _ = load_tu_dataset(args.dataset, args.data_root)
-        subs, subs_k = graph_subgraphs(graphs), None
+        # Graphs beyond the dense bucket route to the partitioned
+        # giant path (whole-graph PE over the "part" mesh axis —
+        # generate.generate_graph_embeddings).
+        emb = generate_graph_embeddings(cfg, state, graphs,
+                                        n_max=args.n_max, e_max=args.e_max)
     else:
         from gcc_tpu.data.formats import create_node_classification_dataset
 
         data = create_node_classification_dataset(args.dataset, args.data_root)
         subs, subs_k = node_subgraphs(data.graph, cfg, args.n_max,
                                       args.e_max, two_views=True)
-    emb = generate_embeddings(cfg, state, subs, n_max=args.n_max,
-                              e_max=args.e_max, subgraphs_k=subs_k)
+        emb = generate_embeddings(cfg, state, subs, n_max=args.n_max,
+                                  e_max=args.e_max, subgraphs_k=subs_k)
     out = args.out or os.path.join(run_dir, f"{args.dataset}.npy")
     np.save(out, emb)
     print(f"saved {emb.shape} -> {out}")

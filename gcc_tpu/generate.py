@@ -120,3 +120,48 @@ def graph_subgraphs(graphs: list[CSRGraph]) -> list[Subgraph]:
     """Entire-graph mode for graph classification (reference
     graph_dataset.py:327-361)."""
     return [entire_graph_subgraph(g) for g in graphs]
+
+
+def generate_graph_embeddings(
+    cfg: TrainConfig,
+    state,
+    graphs: list[CSRGraph],
+    n_max: int = 512,
+    e_max: int = 8192,
+    batch_size: int = 64,
+    mesh=None,
+    giant_iters: int = 64,
+) -> np.ndarray:
+    """Entire-graph embeddings with automatic giant-graph routing.
+
+    Graphs that fit the dense bucket (num_nodes <= n_max; the measured
+    single-chip dense envelope is ~8k nodes, docs/PERF.md "Partitioned
+    aggregation" — pass a bigger n_max to use it) run the reference's
+    entire-graph batch path (graph_dataset.py:327-361). Graphs beyond it
+    route to the partitioned giant path — whole-graph PE + degree
+    features computed over the "part" mesh axis
+    (parallel/giant_features.giant_graph_embedding), a scale the
+    reference's per-graph ARPACK cannot reach. Order of rows matches
+    `graphs`."""
+    small = [i for i, g in enumerate(graphs) if g.num_nodes <= n_max]
+    giant = [i for i, g in enumerate(graphs) if g.num_nodes > n_max]
+    out = np.zeros((len(graphs), cfg.encoder.output_size), np.float32)
+    if small:
+        subs = [entire_graph_subgraph(graphs[i]) for i in small]
+        out[small] = generate_embeddings(cfg, state, subs, n_max=n_max,
+                                         e_max=e_max,
+                                         batch_size=batch_size)
+    if giant:
+        import jax as _jax
+
+        from gcc_tpu.parallel.giant_features import giant_graph_embedding
+        from gcc_tpu.parallel.mesh import make_mesh
+
+        if mesh is None:
+            mesh = make_mesh(data=1, part=len(_jax.devices()))
+        for i in giant:
+            out[i] = giant_graph_embedding(
+                cfg.encoder, state.params, state.batch_stats, graphs[i],
+                mesh, iters=giant_iters,
+            )
+    return out

@@ -87,10 +87,13 @@ def _chebyshev_heat(lap: sp.spmatrix, s: float, lmax: float,
     coeffs = 2.0 * ive(k, -s * a) * np.exp(-s * a + abs(-s * a))
     coeffs[0] /= 2.0
 
+    # Dense recurrence memory: ~4 live (n, n) f64 arrays — 8.5 GB at the
+    # 16384 cap, sized to the measured host (125 GB; baseline eval runs
+    # once per graph). Beyond it, sub-sample or use the GCC giant path.
     t_prev = np.eye(n)
-    t_cur = lp.toarray() if n <= 4096 else None
+    t_cur = lp.toarray() if n <= 16384 else None
     if t_cur is None:
-        raise ValueError("GraphWave dense path limited to n <= 4096")
+        raise ValueError("GraphWave dense path limited to n <= 16384")
     out = coeffs[0] * t_prev + coeffs[1] * t_cur
     for i in range(2, order + 1):
         t_next = 2 * (lp @ t_cur) - t_prev

@@ -1,3 +1,8 @@
+from gcc_tpu.parallel.giant_features import (
+    choose_partition,
+    giant_graph_embedding,
+    giant_laplacian_pe,
+)
 from gcc_tpu.parallel.mesh import make_mesh
 from gcc_tpu.parallel.partitioned import (
     DensePartitionedGraph,
@@ -14,6 +19,9 @@ from gcc_tpu.parallel.partitioned import (
 )
 
 __all__ = [
+    "choose_partition",
+    "giant_graph_embedding",
+    "giant_laplacian_pe",
     "make_mesh",
     "DensePartitionedGraph",
     "PartitionedGraph",

@@ -55,16 +55,21 @@ class PartitionedGraph(NamedTuple):
 
 
 def partition_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int,
-                    num_devices: int) -> PartitionedGraph:
+                    num_devices: int,
+                    weight: np.ndarray | None = None) -> PartitionedGraph:
     """Round-robin edges into `num_devices` equal static shards.
 
     Round-robin keeps shards load-balanced regardless of graph ordering
     (the reference's greedy per-worker graph partition,
     graph_dataset.py:63-76, balances whole graphs; here we balance edges
-    of a single giant graph)."""
+    of a single giant graph). An optional per-edge `weight` (e.g. the
+    D^-1/2 A D^-1/2 normalization for the giant-PE matvec,
+    parallel/giant_features.py) rides along; padding stays 0."""
     e = len(src)
     per = -(-e // num_devices)
     n_pad = -(-num_nodes // num_devices) * num_devices
+    win = (np.ones(e, np.float32) if weight is None
+           else np.asarray(weight, np.float32))
     s = np.zeros((num_devices, per), np.int32)
     d = np.zeros((num_devices, per), np.int32)
     w = np.zeros((num_devices, per), np.float32)
@@ -73,7 +78,7 @@ def partition_edges(src: np.ndarray, dst: np.ndarray, num_nodes: int,
         cnt = len(range(dev, e, num_devices))
         s[dev, :cnt] = src[sl]
         d[dev, :cnt] = dst[sl]
-        w[dev, :cnt] = 1.0
+        w[dev, :cnt] = win[sl]
     return PartitionedGraph(src=s, dst=d, weight=w, num_nodes=n_pad)
 
 

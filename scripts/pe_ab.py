@@ -111,14 +111,19 @@ def child(args):
     from types import SimpleNamespace
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from role_benchmark import build_role_graph
+    from role_benchmark import build_role_graph, build_role_graph_v2
 
     from gcc_tpu.generate import generate_embeddings, node_subgraphs
     from gcc_tpu.tasks import evaluate_node_embeddings
     from gcc_tpu.training.checkpoint import load_checkpoint, load_config
 
     os.environ.pop("GCC_TPU_PE_GUARDS", None)
-    g, y = build_role_graph(args.motifs)
+    if args.bench == "v2":
+        # Sub-ceiling 9-class benchmark (VERDICT r3 item 1): arm deltas
+        # are measured where the eval has headroom, not at 0.98-1.0.
+        g, y = build_role_graph_v2()
+    else:
+        g, y = build_role_graph(args.motifs)
     ckpt = os.path.join(run_dir, "current")
     lcfg = load_config(os.path.dirname(ckpt))
     lcfg = dataclasses.replace(
@@ -129,6 +134,7 @@ def child(args):
                               subgraphs_k=subs_k)
     res = evaluate_node_embeddings(emb, y)
     out = {
+        "bench": args.bench,
         "method": args.method, "seed": args.seed,
         "avg_loss": avg_loss,
         "train_s": round(train_s, 1),
@@ -136,7 +142,9 @@ def child(args):
         "eval_nodes": int(g.num_nodes),
         "eval_pe": "eigh",
     }
-    with open(os.path.join(args.out, "pe_ab.json"), "w") as f:
+    res_name = ("pe_ab.json" if args.bench == "v1"
+                else f"pe_ab_{args.bench}.json")
+    with open(os.path.join(args.out, res_name), "w") as f:
         json.dump(out, f)
     print("CHILD_RESULT " + json.dumps(out), flush=True)
 
@@ -149,6 +157,10 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--epochs", type=int, default=16)
     ap.add_argument("--motifs", type=int, default=200)
+    ap.add_argument("--bench", choices=["v1", "v2"], default="v2",
+                    help="role benchmark version for the eval phase "
+                         "(v2: 9-class sub-ceiling graph; v1 kept for "
+                         "the r3 series)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--root", default="/tmp/gcc_tpu_pe_ab")
     ap.add_argument("--arms", nargs="+", default=list(ARMS))
@@ -162,7 +174,8 @@ def main():
     for seed in args.seeds:
         for arm in args.arms:
             out = os.path.join(args.root, f"{arm}_s{seed}")
-            done = os.path.join(out, "pe_ab.json")
+            done = os.path.join(out, "pe_ab.json" if args.bench == "v1"
+                                else f"pe_ab_{args.bench}.json")
             if os.path.exists(done):
                 results.append(json.load(open(done)))
                 print(f"[pe_ab] cached {arm} seed={seed}", flush=True)
@@ -173,7 +186,7 @@ def main():
             env["GCC_TPU_PE_GUARDS"] = "0" if arm == "subspace-g0" else "16"
             cmd = [sys.executable, os.path.abspath(__file__), "--child",
                    "--method", arm, "--seed", str(seed), "--out", out,
-                   "--epochs", str(args.epochs),
+                   "--epochs", str(args.epochs), "--bench", args.bench,
                    "--motifs", str(args.motifs)]
             print(f"[pe_ab] running {arm} seed={seed} ...", flush=True)
             t0 = time.time()
@@ -198,7 +211,10 @@ def main():
 
         print(f"{arm:12s} f1 mean {np.mean(f1s):.4f} ± {np.std(f1s):.4f}  "
               + " ".join(f"s{s}:{v[0]:.4f}" for s, v in sorted(rows.items())))
-    with open(os.path.join(args.root, "summary.json"), "w") as f:
+    with open(os.path.join(
+            args.root,
+            "summary.json" if args.bench == "v1"
+            else f"summary_{args.bench}.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 

@@ -66,12 +66,139 @@ def build_role_graph(num_motifs=60, seed=0):
     return g, y
 
 
+def build_role_graph_v2(blocks=120, p_noise=0.25, label_noise=0.0, seed=0):
+    """Sub-ceiling 9-class structural-role benchmark (VERDICT r3 item 1).
+
+    The v1 2-class graph saturated: every competent embedding scored
+    0.98-1.0, so accuracy-vs-speed A/Bs were read off an eval with no
+    headroom. v2 is built to discriminate: 9 role families whose DEGREES
+    overlap (so degree alone cannot separate them) and whose separating
+    signal is genuinely structural, plus per-node random noise edges
+    (probability ``p_noise``) that blur local structure the way real
+    graphs do. Confusable pairs by construction: clique vs bipartite-core
+    (dense, similar degree — triangles are the separator), cycle vs chain
+    (deg-2 — boundary effects only), tree-leaf vs star-satellite vs
+    chain-end (deg-1 — the parent's role is the separator), tree-internal
+    vs bipartite (deg ~3).
+
+      0 clique member        K_k, k∈{5,6,7}           deg 4-6, triangles
+      1 bipartite-core       K_{a,b}, a,b∈{3,4}       deg 3-4, no tris
+      2 star center          s∈{5..8} satellites      deg 5-8
+      3 star satellite       deg 1 (+chain links)
+      4 cycle node           L∈{6..10}                deg 2
+      5 chain node           L∈{6..10}                deg 1-2
+      6 tree internal        binary, depth 2          deg 2-3
+      7 tree leaf            deg 1
+      8 grid node            3x3 lattice              deg 2-4, squares
+
+    ~51 nodes per block set; blocks=120 → ~6.1k nodes (the v1 graph was
+    390). Returns (CSRGraph, one-hot labels). ``label_noise`` flips that
+    fraction of labels to a random other class (optional irreducible
+    error; default off — difficulty comes from confusability, which
+    preserves the benchmark's dynamic range)."""
+    rng = np.random.default_rng(seed)
+    src, dst, labels = [], [], []
+    base = 0
+
+    def add(a, b):
+        src.append(int(a)); dst.append(int(b))
+
+    for _ in range(blocks):
+        # clique
+        k = int(rng.integers(5, 8))
+        ids = range(base, base + k)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    add(i, j)
+        labels.extend([0] * k)
+        base += k
+        # bipartite core K_{a,b}
+        a, b = int(rng.integers(3, 5)), int(rng.integers(3, 5))
+        left = list(range(base, base + a))
+        right = list(range(base + a, base + a + b))
+        for i in left:
+            for j in right:
+                add(i, j)
+        labels.extend([1] * (a + b))
+        base += a + b
+        # star: center + satellites, light satellite chaining
+        s = int(rng.integers(5, 9))
+        center = base
+        sats = list(range(base + 1, base + 1 + s))
+        for t in sats:
+            add(center, t)
+        for j in range(s - 1):
+            if rng.random() < 0.4:
+                add(sats[j], sats[j + 1])
+        labels.extend([2] + [3] * s)
+        base += 1 + s
+        # cycle
+        lc = int(rng.integers(6, 11))
+        for i in range(lc):
+            add(base + i, base + (i + 1) % lc)
+        labels.extend([4] * lc)
+        base += lc
+        # chain (open path, same length range as cycle)
+        lp = int(rng.integers(6, 11))
+        for i in range(lp - 1):
+            add(base + i, base + i + 1)
+        labels.extend([5] * lp)
+        base += lp
+        # binary tree depth 2: root, 2 internals, 4 leaves
+        root = base
+        i1, i2 = base + 1, base + 2
+        add(root, i1); add(root, i2)
+        for li, parent in enumerate((i1, i1, i2, i2)):
+            add(parent, base + 3 + li)
+        labels.extend([6] * 3 + [7] * 4)
+        base += 7
+        # 3x3 grid
+        g0 = base
+        for r in range(3):
+            for c in range(3):
+                if c < 2:
+                    add(g0 + 3 * r + c, g0 + 3 * r + c + 1)
+                if r < 2:
+                    add(g0 + 3 * r + c, g0 + 3 * (r + 1) + c)
+        labels.extend([8] * 9)
+        base += 9
+
+    n = base
+    # Per-node noise edges: blur local structure graph-wide.
+    for v in range(n):
+        if rng.random() < p_noise:
+            u = int(rng.integers(0, n))
+            if u != v:
+                add(v, u)
+
+    from gcc_tpu.graph.csr import CSRGraph
+
+    g = CSRGraph.from_edges(np.array(src), np.array(dst), num_nodes=n,
+                            symmetrize=True)
+    labels = np.asarray(labels)
+    if label_noise > 0:
+        flip = rng.random(n) < label_noise
+        labels = labels.copy()
+        labels[flip] = (labels[flip]
+                        + rng.integers(1, 9, flip.sum())) % 9
+    y = np.zeros((n, 9), np.float32)
+    y[np.arange(n), labels] = 1
+    return g, y
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--n-max", type=int, default=256)
     ap.add_argument("--e-max", type=int, default=2048)
     ap.add_argument("--motifs", type=int, default=60)
+    ap.add_argument("--bench", choices=["v1", "v2"], default="v1",
+                    help="v1: legacy 2-class graph (saturated; kept for "
+                         "r1-r3 continuity). v2: 9-class sub-ceiling "
+                         "benchmark")
+    ap.add_argument("--blocks", type=int, default=120, help="v2 only")
+    ap.add_argument("--p-noise", type=float, default=0.25, help="v2 only")
     args = ap.parse_args()
 
     from types import SimpleNamespace
@@ -84,8 +211,12 @@ def main():
     import os
 
     _enable_compilation_cache()
-    g, y = build_role_graph(args.motifs)
-    print(f"role graph: {g.num_nodes} nodes, {g.num_edges} edges", flush=True)
+    if args.bench == "v2":
+        g, y = build_role_graph_v2(args.blocks, args.p_noise)
+    else:
+        g, y = build_role_graph(args.motifs)
+    print(f"role graph ({args.bench}): {g.num_nodes} nodes, "
+          f"{g.num_edges} edges, {y.shape[1]} classes", flush=True)
 
     cfg = load_config(os.path.dirname(args.ckpt))
     state = SimpleNamespace(**load_checkpoint(args.ckpt))

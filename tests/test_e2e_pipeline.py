@@ -395,3 +395,49 @@ def test_run_pretrain_routed_end_to_end(tmp_path):
         lines = [json.loads(l) for l in f]
     assert len(lines) == 16
     assert all(np.isfinite(l["loss"]) for l in lines)
+
+
+def test_cli_generate_routes_giant_graph(tmp_path):
+    """The giant-graph door end-to-end through the CLI (VERDICT r3 item
+    2): `generate` on a TU dataset containing a 50k-node graph routes it
+    through the partitioned whole-graph path (PE via the partitioned
+    matvec + giant_gin_encode over the 8-device part mesh) while small
+    graphs keep the dense entire-graph batch path — one .npy out, rows
+    in dataset order. 50k nodes is ~6x beyond the measured single-chip
+    dense envelope (docs/PERF.md) and beyond the reference's per-graph
+    ARPACK practice."""
+    from gcc_tpu import cli
+    from gcc_tpu.data.tu import save_tu_dataset
+    from gcc_tpu.graph.csr import CSRGraph
+
+    corpus = str(tmp_path / "c")
+    synthetic_corpus(corpus, num_graphs=2, nodes_per_graph=300, avg_degree=6)
+    cfg = tiny_cfg(moco=True)
+    pcfg = PipelineConfig(batch_size=8, n_max=32, e_max=512, num_samples=64,
+                          num_workers=0)
+    summary = run_pretrain(cfg, corpus, str(tmp_path / "out"), pcfg,
+                           log_fn=lambda s: None)
+    ckpt = os.path.join(summary["run_dir"], "current")
+
+    rng = np.random.default_rng(7)
+    graphs = []
+    for n, davg in ((50_000, 8), (60, 6)):
+        e = n * davg // 2
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        keep = src != dst
+        graphs.append(CSRGraph.from_edges(src[keep], dst[keep], num_nodes=n,
+                                          symmetrize=True))
+    save_tu_dataset(str(tmp_path / "data"), "REDDIT-BINARY", graphs,
+                    np.array([0, 1]))
+
+    out = str(tmp_path / "emb.npy")
+    cli.main(["generate", "--ckpt", ckpt, "--dataset", "rdt-b",
+              "--data-root", str(tmp_path / "data"),
+              "--n-max", "256", "--e-max", "2048", "--out", out])
+    emb = np.load(out)
+    assert emb.shape == (2, cfg.encoder.output_size)
+    assert np.isfinite(emb).all()
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-3)
+    # The two rows are genuinely different embeddings (not a copy bug).
+    assert float(np.abs(emb[0] - emb[1]).max()) > 1e-3
