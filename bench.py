@@ -33,6 +33,21 @@ import numpy as np
 
 REFERENCE_EDGE_MSGS_PER_S = 2.0e6
 
+# Roofline constants (scripts/roofline.py on the real chip, 2026-08-21):
+# XLA cost analysis of the OPTIMIZED production step program at the
+# canonical routed MoCo config — flops 2.2895e9 and HBM bytes 4.9484e8
+# per step — against the v5e public peaks (197 TFLOP/s bf16, 819 GB/s).
+# The step floor is the HBM term (604.2 us; the FLOP term is 11.6 us —
+# the model is 64-hidden, so this program is bandwidth-bound, not
+# MXU-bound). Measured device-resident step: 642 us = 94% of the HBM
+# roofline. "bytes accessed" is demand of the compiled program, so the
+# ratio reads: execution saturates the bandwidth its op graph demands;
+# remaining headroom is in demanding fewer bytes, not in scheduling.
+ROOFLINE_HBM_BYTES_PER_STEP = {"moco": 4.9484e8}
+ROOFLINE_FLOPS_PER_STEP = {"moco": 2.2895e9}
+PEAK_HBM_BPS = 819e9
+PEAK_BF16_FLOPS = 197e12
+
 # Config selection: "moco" (canonical MoCo, batch 32, K=16384 — the
 # default) or "e2e" (the reference's E2E headline config: batch 256,
 # K = 255 in-batch negatives, README.md:71-75 / train.py:396-401).
@@ -207,11 +222,24 @@ def main():
         med_msgs, med_secs = steady[len(steady) // 2]
 
     value = med_msgs / med_secs
+    step_s = med_secs / steps_per_chunk
+    # vs_roofline: fraction of the classical roofline floor this run
+    # achieves (floor = max(HBM, FLOP) time of the measured program —
+    # see the constants above; 1.0 = the wall step equals the floor).
+    # Only defined for configs roofline.py has profiled.
+    vs_roofline = None
+    if BENCH_CONFIG in ROOFLINE_HBM_BYTES_PER_STEP:
+        floor_s = max(
+            ROOFLINE_HBM_BYTES_PER_STEP[BENCH_CONFIG] / PEAK_HBM_BPS,
+            ROOFLINE_FLOPS_PER_STEP[BENCH_CONFIG] / PEAK_BF16_FLOPS,
+        )
+        vs_roofline = round(floor_s / step_s, 3)
     print(json.dumps({
         "metric": "edge_messages/s/chip",
         "value": round(value, 1),
         "unit": "edge-messages/s",
         "vs_baseline": round(value / REFERENCE_EDGE_MSGS_PER_S, 2),
+        "vs_roofline": vs_roofline,
         "detail": {
             "step_ms": round(med_secs / steps_per_chunk * 1000, 2),
             "steps_per_s": round(steps_per_chunk / med_secs, 2),
