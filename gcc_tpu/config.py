@@ -75,6 +75,23 @@ class ContrastConfig:
     # same CE criterion, Z estimated from the first batch and frozen in
     # PretrainState.nce_z (contrastive/losses.py legacy_nce_probs).
     use_softmax: bool = True
+    # Device-side size-routed sub-forwards for the E2E objective
+    # (training/pretrain.py featurize_e2e_split): per step, up to
+    # `e2e_split_small` pairs whose BOTH subgraphs fit
+    # `e2e_split_n_small` nodes are featurized+encoded in a
+    # (·, n_small, n_small) sub-program and the rest in the full-bucket
+    # one; the (B, B) in-batch NCE runs on the concatenated EMBEDDINGS,
+    # so the objective is composition-identical (negatives are the same
+    # B-1 embeddings; pair order is loss-invariant). At the measured
+    # size distribution ~99% of pairs take the small program, which has
+    # 4x less N²-proportional featurize+encoder work (docs/PERF.md E2E
+    # split A/B). Documented deviation: each sub-forward computes its
+    # own masked-BN batch stats (size-grouped normalization batches; the
+    # unsplit path normalizes q and k batches separately too). 0
+    # disables; also auto-disabled when batch_size <= e2e_split_small,
+    # under DP-sharded wires, and for non-compact batch layouts.
+    e2e_split_small: int = 240
+    e2e_split_n_small: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

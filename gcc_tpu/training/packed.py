@@ -24,11 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcc_tpu.config import TrainConfig
+from gcc_tpu.graph.batch import CompactWireBatch
 from gcc_tpu.training.pretrain import (
     _hoist_featurize,
+    featurize_e2e_split,
     featurize_pair,
     featurize_stacked,
     featurize_stacked_dp,
+    make_e2e_split_step,
     make_step_from_feats,
     split_feats_qk_dp,
 )
@@ -87,11 +90,35 @@ def make_packed_multi_step(
     step = make_step_from_feats(cfg, enc, tx)
     pos_size = cfg.encoder.positional_embedding_size
     pe_method = cfg.encoder.pe_method
+    # E2E size-routed sub-forwards (config.py ContrastConfig
+    # e2e_split_small): statically enabled for the E2E objective when
+    # the split capacity leaves a non-empty large class; requires the
+    # stacked compact wire (checked per batch below — DP-sharded wires
+    # and padded layouts keep the unsplit path).
+    use_split = (not cfg.contrast.moco
+                 and 0 < cfg.contrast.e2e_split_small < cfg.batch_size)
+    step_split = make_e2e_split_step(cfg, enc, tx) if use_split else None
 
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
 
         meta = getattr(batches_q, "meta", None)
+        if (use_split and isinstance(batches_q, CompactWireBatch)
+                and meta is not None and meta.ndim == 3):
+            feats_s, feats_l, overflow = featurize_e2e_split(
+                batches_q, batches_k, pos_size, pe_method,
+                n_small=cfg.contrast.e2e_split_n_small,
+                c_small=cfg.contrast.e2e_split_small, n_max=n_max,
+            )
+
+            def body_sp(st, f):
+                fs, fl = f
+                return step_split(st, fs, fl)
+
+            state, metrics = jax.lax.scan(body_sp, state,
+                                          (feats_s, feats_l))
+            metrics["e2e_split_overflow"] = overflow
+            return pack(state), metrics
         if meta is not None and meta.ndim == 4:
             # DP-stacked wire ((K, D, ...) leaves, device axis sharded on
             # the mesh "data" axis — pipeline.py PipelineConfig.devices).

@@ -318,6 +318,201 @@ def _featurize_compact_segments(wires_q: CompactWireBatch,
     )
 
 
+def featurize_e2e_split(
+    wires_q: CompactWireBatch,
+    wires_k: CompactWireBatch,
+    pos_size: int,
+    pe_method: str,
+    n_small: int,
+    c_small: int,
+    n_max: int | None,
+):
+    """Size-routed featurization for the E2E objective (VERDICT r3
+    item 2): per scan step, up to ``c_small`` pairs whose BOTH subgraphs
+    fit ``n_small`` nodes are featurized at the (n_small, n_small)
+    bucket; the remaining ``c_large = B - c_small`` slots run the full
+    (n_max, n_max) bucket. The E2E batch composition is preserved — the
+    same B pairs enter every step, only their encode bucket differs —
+    and the (B, B) in-batch NCE is computed downstream on the
+    CONCATENATED embeddings, which is loss-identical under the pair
+    permutation (rows and columns permute together; the diagonal stays
+    the diagonal).
+
+    Pair slotting is on-device: a stable argsort of the per-pair class
+    flag puts small pairs first; small pairs beyond capacity spill into
+    large slots (always valid — a small graph encodes exactly the same
+    in the big bucket). The reverse spill (more than c_large large
+    pairs) would truncate and is counted in the returned ``overflow``
+    (per step); capacities are chosen so its probability is ~0 at the
+    measured size distribution (~1% large pairs).
+
+    Returns (feats_small, feats_large, overflow): BatchFeatures with
+    leaves (K, 2·c_small, ...) / (K, 2·c_large, ...) — per step [:c] is
+    the query half, [c:] the key half — and overflow (K,) int32."""
+    from gcc_tpu.features.featurize import BatchFeatures, _MaskBatch
+    from gcc_tpu.features.positional import laplacian_positional_embedding
+
+    n_max = wires_q.n_max or n_max
+    assert n_max is not None, "n_max required to featurize a wire batch"
+    k_steps, _, b = wires_q.meta.shape
+    c_large = b - c_small
+    assert 0 < c_small < b, (c_small, b)
+
+    nq = wires_q.meta[:, 0, :]
+    nk = wires_k.meta[:, 0, :]
+    is_large = ((nq > n_small) | (nk > n_small)).astype(jnp.int32)  # (K,B)
+    order = jnp.argsort(is_large, axis=1, stable=True)   # small pairs first
+    rank = jnp.argsort(order, axis=1)                    # graph -> slot rank
+    overflow = jnp.maximum(0, is_large.sum(axis=1) - c_large)
+
+    id_bits = wires_q.id_bits
+    mask_bits = (1 << id_bits) - 1
+    e_tot = wires_q.edges.shape[-1]
+    e_iota = jnp.arange(e_tot, dtype=jnp.int32)
+    t_iota = jnp.arange(k_steps, dtype=jnp.int32)
+
+    def bucket_feats(n_b: int, c_b: int, small: bool):
+        # Node-level leaves: gather per-side meta columns into slot order.
+        sel = order[:, :c_small] if small else order[:, c_small:]
+        n_nodes = jnp.concatenate(
+            [jnp.take_along_axis(nq, sel, axis=1),
+             jnp.take_along_axis(nk, sel, axis=1)], axis=1)   # (K, 2c_b)
+        seed = jnp.concatenate(
+            [jnp.take_along_axis(wires_q.meta[:, 2, :], sel, axis=1),
+             jnp.take_along_axis(wires_k.meta[:, 2, :], sel, axis=1)],
+            axis=1)
+        iota_n = jnp.arange(n_b, dtype=jnp.int32)
+        node_mask = (iota_n[None, None, :]
+                     < n_nodes[..., None]).astype(jnp.float32)
+        seed_flag = (iota_n[None, None, :]
+                     == seed[..., None]).astype(jnp.float32) * node_mask
+
+        # Adjacency: one flat scatter-add over both sides' packed edges,
+        # routed by slot rank (build_dense_adjacency_compact with a slot
+        # indirection; edges of the other bucket drop via OOB targets).
+        rows_total = k_steps * 2 * c_b
+        flat = jnp.zeros(rows_total * n_b * n_b, jnp.float32)
+        for side, w in enumerate((wires_q, wires_k)):
+            n_edges = w.meta[:, 1, :]
+            cum = jnp.cumsum(n_edges, axis=1)
+            gid = jnp.minimum(
+                jnp.sum((e_iota[None, :, None]
+                         >= cum[:, None, :]).astype(jnp.int32), axis=2),
+                b - 1,
+            )                                   # (K, E_tot)
+            live = e_iota[None, :] < cum[:, -1:]
+            r = jnp.take_along_axis(rank, gid, axis=1)
+            in_b = (r < c_small) if small else (r >= c_small)
+            row_in_b = r if small else r - c_small
+            packed = w.edges.astype(jnp.int32)
+            src = packed & mask_bits
+            dst = (packed >> id_bits) & mask_bits
+            # Ids beyond this bucket (an overflowed large pair forced
+            # into a small slot) would bleed into neighboring rows —
+            # drop those edges; `overflow` reports the event.
+            fits = (src < n_b) & (dst < n_b)
+            row = (t_iota[:, None] * (2 * c_b) + side * c_b + row_in_b)
+            tgt = jnp.where(
+                live & in_b & fits,
+                row * (n_b * n_b) + dst * n_b + src,
+                rows_total * n_b * n_b,
+            )
+            flat = flat.at[tgt.reshape(-1)].add(1.0, mode="drop")
+        adj = flat.reshape(rows_total, n_b, n_b)
+
+        nm_flat = node_mask.reshape(rows_total, n_b)
+        nn_flat = n_nodes.reshape(rows_total)
+        pos = laplacian_positional_embedding(
+            _MaskBatch(node_mask=nm_flat, n_nodes=nn_flat), pos_size,
+            adj=adj, method=pe_method, profile="train",
+        )
+        deg = adj.sum(axis=2).astype(jnp.int32)
+        reshape = lambda x: x.reshape((k_steps, 2 * c_b) + x.shape[1:])
+        return BatchFeatures(
+            pos=reshape(pos),
+            degrees=reshape(deg),
+            seed_flag=seed_flag,
+            node_mask=node_mask,
+            adj=reshape(adj),
+        )
+
+    feats_small = bucket_feats(n_small, c_small, True)
+    feats_large = bucket_feats(n_max, c_large, False)
+    return feats_small, feats_large, overflow
+
+
+def make_e2e_split_step(cfg: TrainConfig, enc: GraphEncoder, tx):
+    """E2E train step over size-split features (featurize_e2e_split).
+
+    Same objective as the unsplit E2E branch of make_step_from_feats —
+    the (B, B) in-batch NCE on q/k embeddings — with the encoder run as
+    FOUR sub-forwards (q-small, q-large, k-small, k-large) and the
+    embeddings concatenated. Four, not two: putting q and k rows of the
+    same pairs into ONE BatchNorm group leaks statistics between the
+    two views and makes the positives artificially easy (measured:
+    in-batch loss drops 5.27 → 3.41 on the mixed-BN variant — the
+    leakage MoCo's shuffling-BN exists to prevent). With per-view
+    sub-forwards the only BN deviation left is size-grouped
+    normalization batches (the same documented deviation as routed MoCo
+    emission), with running buffers threaded q-small → q-large →
+    k-small → k-large. Learning validated end-to-end in docs/PERF.md
+    (E2E split)."""
+    temperature = cfg.contrast.nce_t
+
+    def step(state: PretrainState, feats_s, feats_l):
+        rng, new_rng = jax.random.split(state.dropout_rng)
+        rngs = jax.random.split(rng, 4)
+        c_s = feats_s.node_mask.shape[0] // 2
+        c_l = feats_l.node_mask.shape[0] // 2
+        half = lambda f, lo, hi: jax.tree_util.tree_map(
+            lambda x: x[lo:hi], f)
+
+        def loss_fn(params):
+            def fwd(stats, f, r):
+                return enc.apply(
+                    {"params": params, "batch_stats": stats}, f,
+                    train=True, mutable=["batch_stats"],
+                    rngs={"dropout": r},
+                )
+
+            emb_qs, m1 = fwd(state.batch_stats, half(feats_s, 0, c_s),
+                             rngs[0])
+            emb_ql, m2 = fwd(m1["batch_stats"], half(feats_l, 0, c_l),
+                             rngs[1])
+            emb_ks, m3 = fwd(m2["batch_stats"],
+                             half(feats_s, c_s, 2 * c_s), rngs[2])
+            emb_kl, m4 = fwd(m3["batch_stats"],
+                             half(feats_l, c_l, 2 * c_l), rngs[3])
+            q_emb = jnp.concatenate([emb_qs, emb_ql], axis=0)
+            k_emb = jnp.concatenate([emb_ks, emb_kl], axis=0)
+            logits = e2e_logits(q_emb, k_emb, temperature)
+            labels = jnp.arange(q_emb.shape[0], dtype=jnp.int32)
+            loss = nce_softmax_loss(logits, labels)
+            prob = jnp.diagonal(logits).mean()
+            return loss, (m4["batch_stats"], prob)
+
+        (loss, (new_stats, prob)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            dropout_rng=new_rng,
+        )
+        from jax.flatten_util import ravel_pytree
+
+        grad_norm = jnp.linalg.norm(ravel_pytree(grads)[0])
+        return new_state, {"loss": loss, "prob": prob,
+                           "grad_norm": grad_norm}
+
+    return step
+
+
 def featurize_stacked_dp(wires_q: CompactWireBatch,
                          wires_k: CompactWireBatch,
                          pos_size: int, pe_method: str, n_max: int | None):
