@@ -29,7 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARMS = ("subspace", "eigh", "subspace-g0")
+# subspace-g0-stacked: the production guardless PE with the reference's
+# random batch composition (emit="stacked") instead of size routing —
+# the routed-vs-stacked downstream comparison (VERDICT r3 item 1) runs
+# it against the subspace-g0 arms on the same seeds.
+ARMS = ("subspace", "eigh", "subspace-g0", "subspace-g0-stacked")
 
 
 def child(args):
@@ -60,9 +64,10 @@ def child(args):
         contrast=ContrastConfig(moco=True, nce_k=16384),
         encoder=EncoderConfig(pe_method=pe_method),
     )
+    emit = "stacked" if args.method.endswith("stacked") else "routed"
     pcfg = PipelineConfig(
         batch_size=32, n_max=256, e_max=2048, num_samples=2000,
-        num_workers=1, mode="thread", emit="routed", super_batch=62,
+        num_workers=1, mode="thread", emit=emit, super_batch=62,
         n_small=128,
     )
     # Resume: if a FINISHED run already exists in args.out, skip straight
@@ -163,7 +168,7 @@ def main():
                          "the r3 series)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--root", default="/tmp/gcc_tpu_pe_ab")
-    ap.add_argument("--arms", nargs="+", default=list(ARMS))
+    ap.add_argument("--arms", nargs="+", default=list(ARMS[:3]))
     args = ap.parse_args()
     if args.child:
         child(args)
@@ -183,7 +188,8 @@ def main():
             env = dict(os.environ)
             # Pin guards explicitly per arm so the A/B stays valid even if
             # the library default changes (the retune this run informs).
-            env["GCC_TPU_PE_GUARDS"] = "0" if arm == "subspace-g0" else "16"
+            env["GCC_TPU_PE_GUARDS"] = ("0" if arm.startswith("subspace-g0")
+                                        else "16")
             cmd = [sys.executable, os.path.abspath(__file__), "--child",
                    "--method", arm, "--seed", str(seed), "--out", out,
                    "--epochs", str(args.epochs), "--bench", args.bench,

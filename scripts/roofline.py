@@ -20,7 +20,7 @@ The third, non-classical term — the scan body's serial dependency chain
 fusion count of the compiled program (docs/PERF.md: op-count cuts were
 wall-neutral, so the body is latency-bound, not throughput-bound).
 
-Usage: timeout 3600 python scripts/roofline.py
+Usage: timeout 3600 python scripts/roofline.py [moco|e2e]
 """
 
 from __future__ import annotations
@@ -47,9 +47,17 @@ E_MAX = 2048
 RW_HOPS = 256
 NCE_K = 16384
 SCAN = 64
+CONFIG = "moco"
 
 
 def main():
+    global BATCH_SIZE, NCE_K, SCAN, CONFIG
+    if len(sys.argv) > 1:
+        CONFIG = sys.argv[1]
+    if CONFIG == "e2e":
+        # Reference E2E headline (batch 256, in-batch negatives) with the
+        # round-4 size-routed sub-forward split (the production program).
+        BATCH_SIZE, NCE_K, SCAN = 256, 255, 8
     import jax
 
     from gcc_tpu.cli import _enable_compilation_cache
@@ -68,16 +76,18 @@ def main():
         synthetic_corpus(corpus_dir, num_graphs=6, nodes_per_graph=100_000,
                          avg_degree=12, seed=0)
     store = CorpusStore.open(corpus_dir)
+    moco = CONFIG != "e2e"
     cfg = TrainConfig(
         batch_size=BATCH_SIZE,
         sampler=SamplerConfig(rw_hops=RW_HOPS),
-        contrast=ContrastConfig(moco=True, nce_k=NCE_K),
+        contrast=ContrastConfig(moco=moco, nce_k=NCE_K),
     )
     pcfg = PipelineConfig(
         batch_size=BATCH_SIZE, n_max=N_MAX, e_max=E_MAX,
         num_samples=10_000, num_workers=1, prefetch=4,
         threads_per_worker=1, mode="thread",
-        emit="routed", super_batch=SCAN, n_small=128,
+        emit="routed" if moco else "stacked", super_batch=SCAN,
+        n_small=128,
     )
     with PretrainPipeline(store, cfg.sampler, pcfg, seed=0) as pipe:
         bq, bk = next(pipe)
@@ -90,9 +100,10 @@ def main():
         step_fn, pack, _ = make_packed_multi_step(cfg, enc, tx, state,
                                                   n_max=N_MAX)
         packed = pack(state)
-        # Grab a small-bucket (n_small=128) item — 99% of production
-        # dispatches run this program; it is the head-bench step.
-        while bq.n_max != 128:
+        # moco: grab a small-bucket (n_small=128) item — 99% of
+        # production dispatches run this program; it is the head-bench
+        # step. e2e: the stacked item IS the production (split) step.
+        while moco and bq.n_max != 128:
             bq, bk = next(pipe)
         sq, sk = jax.device_put(bq), jax.device_put(bk)
 
@@ -145,8 +156,7 @@ def main():
     t_hbm = bytes_step / PEAK_HBM_BPS
     floor_s = max(t_flops, t_hbm)
     out = {
-        "config": f"moco routed b={BATCH_SIZE} k={NCE_K} bucket(128,·) "
-                  f"scan{SCAN}",
+        "config": f"{CONFIG} b={BATCH_SIZE} k={NCE_K} scan{SCAN}",
         "flops_per_step": flops_step,
         "hbm_bytes_per_step": bytes_step,
         "t_flops_us": round(t_flops * 1e6, 1),
