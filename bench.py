@@ -34,17 +34,17 @@ import numpy as np
 REFERENCE_EDGE_MSGS_PER_S = 2.0e6
 
 # Roofline constants (scripts/roofline.py on the real chip, 2026-08-21):
-# XLA cost analysis of the OPTIMIZED production step program at the
-# canonical routed MoCo config — flops 2.2895e9 and HBM bytes 4.9484e8
-# per step — against the v5e public peaks (197 TFLOP/s bf16, 819 GB/s).
-# The step floor is the HBM term (604.2 us; the FLOP term is 11.6 us —
-# the model is 64-hidden, so this program is bandwidth-bound, not
-# MXU-bound). Measured device-resident step: 642 us = 94% of the HBM
-# roofline. "bytes accessed" is demand of the compiled program, so the
-# ratio reads: execution saturates the bandwidth its op graph demands;
-# remaining headroom is in demanding fewer bytes, not in scheduling.
-ROOFLINE_HBM_BYTES_PER_STEP = {"moco": 4.9484e8}
-ROOFLINE_FLOPS_PER_STEP = {"moco": 2.2895e9}
+# XLA cost analysis of the OPTIMIZED production step programs against
+# the v5e public peaks (197 TFLOP/s bf16, 819 GB/s). Both configs are
+# bandwidth-bound (64-hidden model): moco — 2.2895e9 FLOP / 4.9484e8 B
+# per step, HBM floor 604.2 us, measured 642 us = 94.1% of roofline;
+# e2e (size-routed split) — 2.3912e10 FLOP / 5.6661e9 B per step, HBM
+# floor 6918 us, measured 7332 us = 94.4%. "bytes accessed" is demand
+# of the compiled program, so the ratio reads: execution saturates the
+# bandwidth its op graph demands; remaining headroom is in demanding
+# fewer bytes, not in scheduling.
+ROOFLINE_HBM_BYTES_PER_STEP = {"moco": 4.9484e8, "e2e": 5.6661e9}
+ROOFLINE_FLOPS_PER_STEP = {"moco": 2.2895e9, "e2e": 2.3912e10}
 PEAK_HBM_BPS = 819e9
 PEAK_BF16_FLOPS = 197e12
 

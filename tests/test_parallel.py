@@ -771,3 +771,46 @@ def test_generate_graph_embeddings_routes_giant(tmp_path):
     direct = generate_embeddings(cfg, state, graph_subgraphs(small),
                                  n_max=256, e_max=2048)
     np.testing.assert_allclose(emb[[0, 2]], direct, atol=1e-5)
+
+
+def test_giant_embedding_program_cache_reuse():
+    """Two giant graphs whose padded shapes land in the same bucket must
+    REUSE the cached compiled programs (each fresh jit closure would
+    recompile — ~20s per graph through a remote relay), and both produce
+    valid unit-norm embeddings."""
+    from gcc_tpu.config import EncoderConfig
+    from gcc_tpu.features import featurize_batch
+    from gcc_tpu.graph.batch import Subgraph, batch_subgraphs
+    from gcc_tpu.graph.csr import CSRGraph
+    from gcc_tpu.models import GraphEncoder
+    from gcc_tpu.parallel import giant_features as gf
+
+    cfg = EncoderConfig()
+    enc = GraphEncoder(cfg)
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 24, 96).astype(np.int32)
+    d = rng.integers(0, 24, 96).astype(np.int32)
+    toy = batch_subgraphs([Subgraph(src=s, dst=d, num_nodes=24)],
+                          n_max=32, e_max=256)
+    feats = jax.jit(
+        lambda b: featurize_batch(b, cfg.positional_embedding_size))(toy)
+    variables = enc.init(jax.random.PRNGKey(0), feats, train=False)
+    mesh = make_mesh(data=1, part=8)
+
+    gf._giant_pe_fn.cache_clear()
+    gf._giant_enc_fn.cache_clear()
+    embs = []
+    for n in (9000, 9400):  # same 256*8-node bucket (10240)
+        src, dst = _random_symmetric_graph(n, 6, seed=n)
+        g = CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+        embs.append(gf.giant_graph_embedding(
+            cfg, variables["params"], variables["batch_stats"], g, mesh,
+            iters=16))
+    for e in embs:
+        assert np.isfinite(e).all()
+        np.testing.assert_allclose(np.linalg.norm(e), 1.0, atol=1e-3)
+    assert float(np.abs(embs[0] - embs[1]).max()) > 1e-4
+    # Second graph hit the caches (same padded bucket + ring width).
+    assert gf._giant_pe_fn.cache_info().hits >= 1, \
+        gf._giant_pe_fn.cache_info()
+    assert gf._giant_enc_fn.cache_info().hits >= 1
