@@ -76,22 +76,28 @@ class ContrastConfig:
     # PretrainState.nce_z (contrastive/losses.py legacy_nce_probs).
     use_softmax: bool = True
     # Device-side size-routed sub-forwards for the E2E objective
-    # (training/pretrain.py featurize_e2e_split): per step, up to
-    # `e2e_split_small` pairs whose BOTH subgraphs fit
-    # `e2e_split_n_small` nodes are featurized+encoded in a
-    # (·, n_small, n_small) sub-program and the rest in the full-bucket
-    # one; the (B, B) in-batch NCE runs on the concatenated EMBEDDINGS,
-    # so the objective is composition-identical (negatives are the same
-    # B-1 embeddings; pair order is loss-invariant). At the measured
-    # size distribution ~99% of pairs take the small program, which has
-    # 4x less N²-proportional featurize+encoder work (docs/PERF.md E2E
-    # split A/B). Documented deviation: each sub-forward computes its
-    # own masked-BN batch stats (size-grouped normalization batches; the
-    # unsplit path normalizes q and k batches separately too). 0
-    # disables; also auto-disabled when batch_size <= e2e_split_small,
-    # under DP-sharded wires, and for non-compact batch layouts.
-    e2e_split_small: int = 240
-    e2e_split_n_small: int = 128
+    # (training/pretrain.py featurize_e2e_split): a "n0:cap0,n1:cap1"
+    # spec of sub-bucket classes below the wire's n_max — per step, the
+    # first cap0 slot-ranked pairs whose BOTH subgraphs fit n0 nodes run
+    # a (·, n0, n0) sub-program, the next cap1 a (·, n1, n1) one, and
+    # the remaining batch_size − Σcap pairs the full n_max bucket; the
+    # (B, B) in-batch NCE runs on the concatenated EMBEDDINGS, so the
+    # objective is composition-identical (negatives are the same B-1
+    # embeddings; pair order is loss-invariant). Capacities are sized
+    # from the measured pair distribution at the canonical batch 256
+    # (p(max-side ≤ 128) = 98.9%, per-step count(>128) max ~3 —
+    # docs/PERF.md E2E split): small pairs spill upward freely, the
+    # reverse overflow is counted in metrics. A finer 3-class split
+    # ("80:224,128:20") measured SLOWER (8.38 vs 7.61 ms/step): sub-128
+    # buckets lane-pad to 128 on the minor axis, so HBM tiles don't
+    # shrink with n², while the extra sub-forwards and the third
+    # PE/Jacobi chain add serial work. Documented deviation:
+    # each sub-forward computes its own masked-BN batch stats
+    # (size-grouped normalization batches; the unsplit path normalizes q
+    # and k batches separately too). "" disables; also auto-disabled
+    # when batch_size <= Σcap, under DP-sharded wires, and for
+    # non-compact batch layouts.
+    e2e_split: str = "128:240"
 
 
 @dataclasses.dataclass(frozen=True)

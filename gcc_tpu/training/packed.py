@@ -33,6 +33,7 @@ from gcc_tpu.training.pretrain import (
     featurize_stacked_dp,
     make_e2e_split_step,
     make_step_from_feats,
+    parse_e2e_split,
     split_feats_qk_dp,
 )
 
@@ -90,35 +91,37 @@ def make_packed_multi_step(
     step = make_step_from_feats(cfg, enc, tx)
     pos_size = cfg.encoder.positional_embedding_size
     pe_method = cfg.encoder.pe_method
-    # E2E size-routed sub-forwards (config.py ContrastConfig
-    # e2e_split_small): statically enabled for the E2E objective when
-    # the split capacity leaves a non-empty large class; requires the
-    # stacked compact wire (checked per batch below — DP-sharded wires
-    # and padded layouts keep the unsplit path).
-    use_split = (not cfg.contrast.moco
-                 and 0 < cfg.contrast.e2e_split_small < cfg.batch_size)
-    step_split = make_e2e_split_step(cfg, enc, tx) if use_split else None
+    # E2E size-routed sub-forwards (config.py ContrastConfig.e2e_split):
+    # statically enabled for the E2E objective when the spec parses to a
+    # valid ascending class list with a non-empty top class; requires
+    # the stacked compact wire (checked per batch below — DP-sharded
+    # wires and padded layouts keep the unsplit path).
+    split_classes = (parse_e2e_split(cfg.contrast.e2e_split,
+                                     cfg.batch_size, n_max)
+                     if not cfg.contrast.moco else None)
+    step_split = (make_e2e_split_step(cfg, enc, tx)
+                  if split_classes else None)
 
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
 
         meta = getattr(batches_q, "meta", None)
-        if (use_split and isinstance(batches_q, CompactWireBatch)
+        if (split_classes and isinstance(batches_q, CompactWireBatch)
                 and meta is not None and meta.ndim == 3):
-            feats_s, feats_l, overflow = featurize_e2e_split(
-                batches_q, batches_k, pos_size, pe_method,
-                n_small=cfg.contrast.e2e_split_n_small,
-                c_small=cfg.contrast.e2e_split_small, n_max=n_max,
-            )
-
-            def body_sp(st, f):
-                fs, fl = f
-                return step_split(st, fs, fl)
-
-            state, metrics = jax.lax.scan(body_sp, state,
-                                          (feats_s, feats_l))
-            metrics["e2e_split_overflow"] = overflow
-            return pack(state), metrics
+            # Routed tags change n_max; re-parse against the batch's tag
+            # (stacked E2E items carry tag 0 → the configured n_max).
+            classes = (split_classes if not batches_q.n_max
+                       else parse_e2e_split(cfg.contrast.e2e_split,
+                                            cfg.batch_size,
+                                            batches_q.n_max))
+            if classes:
+                feats, overflow = featurize_e2e_split(
+                    batches_q, batches_k, pos_size, pe_method,
+                    classes=classes, n_max=n_max,
+                )
+                state, metrics = jax.lax.scan(step_split, state, feats)
+                metrics["e2e_split_overflow"] = overflow
+                return pack(state), metrics
         if meta is not None and meta.ndim == 4:
             # DP-stacked wire ((K, D, ...) leaves, device axis sharded on
             # the mesh "data" axis — pipeline.py PipelineConfig.devices).

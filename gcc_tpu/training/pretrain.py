@@ -318,52 +318,80 @@ def _featurize_compact_segments(wires_q: CompactWireBatch,
     )
 
 
+def parse_e2e_split(spec: str, batch_size: int, n_max: int | None):
+    """Parse ContrastConfig.e2e_split ("n0:cap0,n1:cap1") into the full
+    class list ((n0, cap0), ..., (n_max, B − Σcap)), or None when the
+    spec is empty/inapplicable (Σcap ≥ B, buckets not ascending, or a
+    bucket ≥ n_max — tiny test configs auto-disable this way)."""
+    if not spec or n_max is None:
+        return None
+    classes = []
+    for part in spec.split(","):
+        nb, cap = part.split(":")
+        classes.append((int(nb), int(cap)))
+    caps = sum(c for _, c in classes)
+    buckets = [nb for nb, _ in classes]
+    if (caps >= batch_size or any(c <= 0 for _, c in classes)
+            or buckets != sorted(buckets) or len(set(buckets)) != len(buckets)
+            or buckets[-1] >= n_max):
+        return None
+    return tuple(classes) + ((n_max, batch_size - caps),)
+
+
 def featurize_e2e_split(
     wires_q: CompactWireBatch,
     wires_k: CompactWireBatch,
     pos_size: int,
     pe_method: str,
-    n_small: int,
-    c_small: int,
+    classes,
     n_max: int | None,
 ):
     """Size-routed featurization for the E2E objective (VERDICT r3
-    item 2): per scan step, up to ``c_small`` pairs whose BOTH subgraphs
-    fit ``n_small`` nodes are featurized at the (n_small, n_small)
-    bucket; the remaining ``c_large = B - c_small`` slots run the full
-    (n_max, n_max) bucket. The E2E batch composition is preserved — the
-    same B pairs enter every step, only their encode bucket differs —
-    and the (B, B) in-batch NCE is computed downstream on the
-    CONCATENATED embeddings, which is loss-identical under the pair
-    permutation (rows and columns permute together; the diagonal stays
-    the diagonal).
+    item 2): per scan step, pairs are slotted into the ascending size
+    ``classes`` = ((n_0, cap_0), ..., (n_max, cap_last)) — a pair's
+    class is the first bucket that fits BOTH its subgraphs, and the
+    slot ranking (stable argsort by class) assigns the first cap_0
+    ranks to the (·, n_0, n_0) sub-program, the next cap_1 to n_1, and
+    so on. The E2E batch composition is preserved — the same B pairs
+    enter every step, only their encode bucket differs — and the (B, B)
+    in-batch NCE is computed downstream on the CONCATENATED embeddings,
+    which is loss-identical under the pair permutation (rows and
+    columns permute together; the diagonal stays the diagonal).
 
-    Pair slotting is on-device: a stable argsort of the per-pair class
-    flag puts small pairs first; small pairs beyond capacity spill into
-    large slots (always valid — a small graph encodes exactly the same
-    in the big bucket). The reverse spill (more than c_large large
-    pairs) would truncate and is counted in the returned ``overflow``
-    (per step); capacities are chosen so its probability is ~0 at the
-    measured size distribution (~1% large pairs).
+    Small pairs spill upward freely (a small graph encodes exactly the
+    same in a bigger bucket); the reverse spill (more class-k pairs
+    than the slots from boundary k up) would truncate and is counted in
+    the returned ``overflow`` (per step); capacities are chosen so its
+    probability is ~0 at the measured size distribution (docs/PERF.md).
 
-    Returns (feats_small, feats_large, overflow): BatchFeatures with
-    leaves (K, 2·c_small, ...) / (K, 2·c_large, ...) — per step [:c] is
-    the query half, [c:] the key half — and overflow (K,) int32."""
+    Returns (feats_tuple, overflow): one BatchFeatures per class with
+    leaves (K, 2·cap, ...) — per step [:cap] is the query half,
+    [cap:] the key half — and overflow (K,) int32."""
     from gcc_tpu.features.featurize import BatchFeatures, _MaskBatch
     from gcc_tpu.features.positional import laplacian_positional_embedding
 
     n_max = wires_q.n_max or n_max
     assert n_max is not None, "n_max required to featurize a wire batch"
     k_steps, _, b = wires_q.meta.shape
-    c_large = b - c_small
-    assert 0 < c_small < b, (c_small, b)
+    assert sum(c for _, c in classes) == b, (classes, b)
+    bounds = [0]
+    for _, cap in classes:
+        bounds.append(bounds[-1] + cap)
 
     nq = wires_q.meta[:, 0, :]
     nk = wires_k.meta[:, 0, :]
-    is_large = ((nq > n_small) | (nk > n_small)).astype(jnp.int32)  # (K,B)
-    order = jnp.argsort(is_large, axis=1, stable=True)   # small pairs first
+    mx = jnp.maximum(nq, nk)
+    cls = jnp.zeros_like(mx)
+    for n_b, _ in classes[:-1]:
+        cls = cls + (mx > n_b).astype(mx.dtype)          # (K, B)
+    order = jnp.argsort(cls, axis=1, stable=True)        # class-ascending
     rank = jnp.argsort(order, axis=1)                    # graph -> slot rank
-    overflow = jnp.maximum(0, is_large.sum(axis=1) - c_large)
+    # Overflow at any class boundary k: more pairs of class >= k than
+    # slots from that boundary up (those pairs would truncate).
+    overflow = jnp.zeros(k_steps, jnp.int32)
+    for k in range(1, len(classes)):
+        over = (cls >= k).sum(axis=1) - (b - bounds[k])
+        overflow = jnp.maximum(overflow, jnp.maximum(0, over))
 
     id_bits = wires_q.id_bits
     mask_bits = (1 << id_bits) - 1
@@ -371,9 +399,11 @@ def featurize_e2e_split(
     e_iota = jnp.arange(e_tot, dtype=jnp.int32)
     t_iota = jnp.arange(k_steps, dtype=jnp.int32)
 
-    def bucket_feats(n_b: int, c_b: int, small: bool):
+    def bucket_feats(k: int):
+        n_b, c_b = classes[k]
+        lo, hi = bounds[k], bounds[k + 1]
         # Node-level leaves: gather per-side meta columns into slot order.
-        sel = order[:, :c_small] if small else order[:, c_small:]
+        sel = order[:, lo:hi]
         n_nodes = jnp.concatenate(
             [jnp.take_along_axis(nq, sel, axis=1),
              jnp.take_along_axis(nk, sel, axis=1)], axis=1)   # (K, 2c_b)
@@ -389,7 +419,7 @@ def featurize_e2e_split(
 
         # Adjacency: one flat scatter-add over both sides' packed edges,
         # routed by slot rank (build_dense_adjacency_compact with a slot
-        # indirection; edges of the other bucket drop via OOB targets).
+        # indirection; edges of other buckets drop via OOB targets).
         rows_total = k_steps * 2 * c_b
         flat = jnp.zeros(rows_total * n_b * n_b, jnp.float32)
         for side, w in enumerate((wires_q, wires_k)):
@@ -402,13 +432,13 @@ def featurize_e2e_split(
             )                                   # (K, E_tot)
             live = e_iota[None, :] < cum[:, -1:]
             r = jnp.take_along_axis(rank, gid, axis=1)
-            in_b = (r < c_small) if small else (r >= c_small)
-            row_in_b = r if small else r - c_small
+            in_b = (r >= lo) & (r < hi)
+            row_in_b = r - lo
             packed = w.edges.astype(jnp.int32)
             src = packed & mask_bits
             dst = (packed >> id_bits) & mask_bits
-            # Ids beyond this bucket (an overflowed large pair forced
-            # into a small slot) would bleed into neighboring rows —
+            # Ids beyond this bucket (an overflowed bigger pair forced
+            # into a smaller slot) would bleed into neighboring rows —
             # drop those edges; `overflow` reports the event.
             fits = (src < n_b) & (dst < n_b)
             row = (t_iota[:, None] * (2 * c_b) + side * c_b + row_in_b)
@@ -436,9 +466,7 @@ def featurize_e2e_split(
             adj=reshape(adj),
         )
 
-    feats_small = bucket_feats(n_small, c_small, True)
-    feats_large = bucket_feats(n_max, c_large, False)
-    return feats_small, feats_large, overflow
+    return tuple(bucket_feats(k) for k in range(len(classes))), overflow
 
 
 def make_e2e_split_step(cfg: TrainConfig, enc: GraphEncoder, tx):
@@ -446,24 +474,22 @@ def make_e2e_split_step(cfg: TrainConfig, enc: GraphEncoder, tx):
 
     Same objective as the unsplit E2E branch of make_step_from_feats —
     the (B, B) in-batch NCE on q/k embeddings — with the encoder run as
-    FOUR sub-forwards (q-small, q-large, k-small, k-large) and the
-    embeddings concatenated. Four, not two: putting q and k rows of the
-    same pairs into ONE BatchNorm group leaks statistics between the
-    two views and makes the positives artificially easy (measured:
-    in-batch loss drops 5.27 → 3.41 on the mixed-BN variant — the
-    leakage MoCo's shuffling-BN exists to prevent). With per-view
-    sub-forwards the only BN deviation left is size-grouped
-    normalization batches (the same documented deviation as routed MoCo
-    emission), with running buffers threaded q-small → q-large →
-    k-small → k-large. Learning validated end-to-end in docs/PERF.md
-    (E2E split)."""
+    2·num_classes sub-forwards (all q classes, then all k classes) and
+    the embeddings concatenated. Per-VIEW sub-forwards, never mixed:
+    putting q and k rows of the same pairs into ONE BatchNorm group
+    leaks statistics between the two views and makes the positives
+    artificially easy (measured: in-batch loss drops 5.27 → 3.41 on the
+    mixed-BN variant — the leakage MoCo's shuffling-BN exists to
+    prevent). The only BN deviation left is size-grouped normalization
+    batches (the same documented deviation as routed MoCo emission),
+    with running buffers threaded q classes → k classes. Learning
+    validated end-to-end in docs/PERF.md (E2E split)."""
     temperature = cfg.contrast.nce_t
 
-    def step(state: PretrainState, feats_s, feats_l):
+    def step(state: PretrainState, feats_tuple):
         rng, new_rng = jax.random.split(state.dropout_rng)
-        rngs = jax.random.split(rng, 4)
-        c_s = feats_s.node_mask.shape[0] // 2
-        c_l = feats_l.node_mask.shape[0] // 2
+        n_cls = len(feats_tuple)
+        rngs = jax.random.split(rng, 2 * n_cls)
         half = lambda f, lo, hi: jax.tree_util.tree_map(
             lambda x: x[lo:hi], f)
 
@@ -475,21 +501,22 @@ def make_e2e_split_step(cfg: TrainConfig, enc: GraphEncoder, tx):
                     rngs={"dropout": r},
                 )
 
-            emb_qs, m1 = fwd(state.batch_stats, half(feats_s, 0, c_s),
-                             rngs[0])
-            emb_ql, m2 = fwd(m1["batch_stats"], half(feats_l, 0, c_l),
-                             rngs[1])
-            emb_ks, m3 = fwd(m2["batch_stats"],
-                             half(feats_s, c_s, 2 * c_s), rngs[2])
-            emb_kl, m4 = fwd(m3["batch_stats"],
-                             half(feats_l, c_l, 2 * c_l), rngs[3])
-            q_emb = jnp.concatenate([emb_qs, emb_ql], axis=0)
-            k_emb = jnp.concatenate([emb_ks, emb_kl], axis=0)
+            stats = state.batch_stats
+            q_embs, k_embs = [], []
+            for view, out in ((0, q_embs), (1, k_embs)):
+                for k, f in enumerate(feats_tuple):
+                    c = f.node_mask.shape[0] // 2
+                    emb, mut = fwd(stats, half(f, view * c, (view + 1) * c),
+                                   rngs[view * n_cls + k])
+                    stats = mut["batch_stats"]
+                    out.append(emb)
+            q_emb = jnp.concatenate(q_embs, axis=0)
+            k_emb = jnp.concatenate(k_embs, axis=0)
             logits = e2e_logits(q_emb, k_emb, temperature)
             labels = jnp.arange(q_emb.shape[0], dtype=jnp.int32)
             loss = nce_softmax_loss(logits, labels)
             prob = jnp.diagonal(logits).mean()
-            return loss, (m4["batch_stats"], prob)
+            return loss, (stats, prob)
 
         (loss, (new_stats, prob)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -1,5 +1,5 @@
 """Device-resident A/B of the E2E size-routed sub-forward split
-(config.py ContrastConfig.e2e_split_small; VERDICT r3 item 2).
+(config.py ContrastConfig.e2e_split; VERDICT r3 item 2).
 
 Re-steps the SAME device batch (reference E2E headline: batch 256,
 K=255 in-batch negatives, stacked emission, scan8) through the split
@@ -51,9 +51,9 @@ def main():
         super_batch=spc,
     )
     variants = [
-        ("split240", 240),
-        ("split224", 224),
-        ("unsplit", 0),
+        ("split3_80_128", "80:224,128:20"),
+        ("split2_128", "128:240"),
+        ("unsplit", ""),
     ]
     with PretrainPipeline(store, base.sampler, pcfg, seed=0) as pipe:
         sq, sk = next(pipe)
@@ -71,7 +71,7 @@ def main():
         for name, c_s in variants:
             cfg = dataclasses.replace(
                 base, contrast=dataclasses.replace(base.contrast,
-                                                   e2e_split_small=c_s))
+                                                   e2e_split=c_s))
             step_fn, pack, _ = make_packed_multi_step(cfg, enc, tx, state,
                                                       n_max=256)
             packed = pack(state)

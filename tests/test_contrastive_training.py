@@ -629,8 +629,12 @@ def _random_subgraph(rng, n, seed_pos=0):
     return Subgraph(src=s, dst=d, num_nodes=n, seed=seed_pos)
 
 
-def test_featurize_e2e_split_routes_exactly():
-    """featurize_e2e_split's slotting + dual-bucket adjacency scatter
+@pytest.mark.parametrize("classes", [
+    ((32, 4), (64, 2)),
+    ((24, 2), (32, 2), (64, 2)),
+])
+def test_featurize_e2e_split_routes_exactly(classes):
+    """featurize_e2e_split's slotting + multi-bucket adjacency scatter
     must reproduce, per graph, exactly the adjacency/degrees/masks/seed
     the unsplit full-bucket featurize computes (PE derives from the
     adjacency through the shared solver and is compared elsewhere —
@@ -640,7 +644,7 @@ def test_featurize_e2e_split_routes_exactly():
     )
 
     rng = np.random.default_rng(0)
-    k_steps, b, n_small, c_small, n_max = 2, 6, 32, 4, 64
+    k_steps, b, n_max = 2, 6, 64
     sizes = [[(10, 12), (40, 9), (20, 20), (8, 8), (30, 44), (16, 9)],
              [(12, 10), (11, 13), (50, 21), (9, 30), (22, 22), (31, 32)]]
     pairs_per_step = [
@@ -649,27 +653,30 @@ def test_featurize_e2e_split_routes_exactly():
         for step in sizes
     ]
     wq, wk = _mk_wire_stack(pairs_per_step, 0)
-    fs, fl, overflow = jax.jit(
-        lambda a, b: featurize_e2e_split(a, b, 8, "eigh", n_small,
-                                         c_small, n_max)
+    feats_all, overflow = jax.jit(
+        lambda a, b: featurize_e2e_split(a, b, 8, "eigh", classes, n_max)
     )(wq, wk)
     ref = jax.jit(
         lambda a, b: featurize_stacked(a, b, 8, "eigh", n_max))(wq, wk)
     assert np.asarray(overflow).tolist() == [0, 0]
 
+    bounds = [0]
+    for _, cap in classes:
+        bounds.append(bounds[-1] + cap)
     nq = np.stack([[p[0].num_nodes for p in st] for st in pairs_per_step])
     nk = np.stack([[p[1].num_nodes for p in st] for st in pairs_per_step])
-    is_large = (nq > n_small) | (nk > n_small)
+    mx = np.maximum(nq, nk)
+    cls_of = sum((mx > n_b).astype(int) for n_b, _ in classes[:-1])
     for t in range(k_steps):
-        order = np.argsort(is_large[t], kind="stable")
+        order = np.argsort(cls_of[t], kind="stable")
         rank = np.argsort(order, kind="stable")
         for g in range(b):
             r = rank[g]
-            small = r < c_small
-            feats = fs if small else fl
-            c_b = c_small if small else b - c_small
-            row = r if small else r - c_small
-            n_b = n_small if small else n_max
+            k = next(i for i in range(len(classes))
+                     if r < bounds[i + 1])
+            feats = feats_all[k]
+            n_b, c_b = classes[k]
+            row = r - bounds[k]
             for side, off_ref in ((0, 0), (1, b)):
                 frow = jax.tree_util.tree_map(
                     lambda x: np.asarray(x[t][side * c_b + row]), feats)
@@ -710,14 +717,14 @@ def test_e2e_split_step_trains_and_reports_overflow():
                               positional_embedding_size=8,
                               degree_embedding_size=4, pe_method="eigh"),
         contrast=ContrastConfig(moco=False, nce_k=b - 1,
-                                e2e_split_small=4, e2e_split_n_small=32),
+                                e2e_split="32:4"),
         optim=OptimConfig(learning_rate=0.01),
     )
     results = {}
     for split in (True, False):
         cfg = base if split else dataclasses.replace(
             base, contrast=dataclasses.replace(base.contrast,
-                                               e2e_split_small=0))
+                                               e2e_split=""))
         state, enc, tx = create_pretrain_state(
             jax.random.PRNGKey(0), cfg,
             jax.tree_util.tree_map(lambda x: x[0], wq),
@@ -754,7 +761,7 @@ def test_e2e_split_step_trains_and_reports_overflow():
     nq = np.array([p[0].num_nodes for p in pairs[0]])
     nk = np.array([p[1].num_nodes for p in pairs[0]])
     order = np.argsort((nq > n_small) | (nk > n_small), kind="stable")
-    c_small = base.contrast.e2e_split_small
+    c_small = 4
 
     def manual_loss():
         rng, _ = jax.random.split(state.dropout_rng)
