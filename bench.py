@@ -247,7 +247,9 @@ def main():
             "loss": round(last_loss, 4),
             "config": f"{'moco' if moco else 'e2e'} k={NCE_K} b={BATCH_SIZE} "
                       f"gin5x64 rw{RW_HOPS} "
-                      f"bucket({N_MAX},{E_MAX}) scan{STEPS_PER_CALL}",
+                      f"bucket({N_MAX},{E_MAX}) scan{STEPS_PER_CALL}"
+                      + ("" if moco else
+                         f" split[{cfg.contrast.e2e_split or 'off'}]"),
         },
     }))
 

@@ -95,8 +95,10 @@ class ContrastConfig:
     # each sub-forward computes its own masked-BN batch stats
     # (size-grouped normalization batches; the unsplit path normalizes q
     # and k batches separately too). "" disables; also auto-disabled
-    # when batch_size <= Σcap, under DP-sharded wires, and for
-    # non-compact batch layouts.
+    # when the WIRE batch width <= Σcap (capacities are parsed against
+    # the wire item, not TrainConfig.batch_size), under DP-sharded
+    # wires, for non-compact batch layouts, and for unstacked
+    # single-step dispatches (meta without a step axis).
     e2e_split: str = "128:240"
 
 

@@ -72,24 +72,31 @@ def pg_rebuild(template, arrays):
     return type(template)(num_nodes=template.num_nodes, **arrays)
 
 
-def choose_partition(src, dst, num_nodes, num_devices, weight=None,
-                     dense_budget_bytes=512 << 20):
-    """Pick the measured-best schedule for one giant graph.
-
-    Policy from the on-chip measurement (docs/PERF.md "Partitioned
-    aggregation" + end-to-end encode): dense row-block whenever
-    N <= ~4k or density >= ~0.4% (the MXU streams the dense product
-    >2x faster than the serial-VPU segment path), PROVIDED the
+def dense_schedule_wins(num_edges, num_nodes, num_devices,
+                        dense_budget_bytes=512 << 20) -> bool:
+    """The measured dense/ring policy, in ONE place (docs/PERF.md
+    "Partitioned aggregation" + end-to-end encode): dense row-block
+    whenever N <= ~4k or density >= ~0.4% (the MXU streams the dense
+    product >2x faster than the serial-VPU segment path), PROVIDED the
     per-device (N/D, N) f32 block fits the HBM budget; otherwise the
     ring schedule (latency-hiding segment sums — wins end-to-end in the
     very-sparse giant regime where MLP layers evict the big adjacency
-    between aggregations)."""
-    e = len(src)
-    density = e / max(1, num_nodes) ** 2
+    between aggregations). Used by both :func:`choose_partition` and
+    :func:`giant_graph_embedding`'s shape-bucketing decision so the two
+    cannot diverge."""
+    density = num_edges / max(1, num_nodes) ** 2
     n_pad = -(-num_nodes // num_devices) * num_devices
     dense_bytes = n_pad * (n_pad // num_devices) * 4
-    if ((num_nodes <= 4096 or density >= 0.004)
-            and dense_bytes <= dense_budget_bytes):
+    return ((num_nodes <= 4096 or density >= 0.004)
+            and dense_bytes <= dense_budget_bytes)
+
+
+def choose_partition(src, dst, num_nodes, num_devices, weight=None,
+                     dense_budget_bytes=512 << 20):
+    """Pick the measured-best schedule for one giant graph
+    (:func:`dense_schedule_wins`)."""
+    if dense_schedule_wins(len(src), num_nodes, num_devices,
+                           dense_budget_bytes):
         return partition_dense(src, dst, num_nodes, num_devices,
                                weight=weight)
     return partition_edges_ring(src, dst, num_nodes, num_devices,
@@ -112,7 +119,6 @@ def giant_laplacian_pe(
     pos_size: int = 32,
     iters: int = 64,
     orth_every: int = 8,
-    guards: int = 16,
 ):
     """Top-`pos_size` eigenvectors of M for one partitioned giant graph.
 
@@ -121,8 +127,10 @@ def giant_laplacian_pe(
     edge weights (:func:`normalized_edge_weights`), so one aggregation
     is one power step M @ q.
 
-    q0: (N_pad, k) deterministic start basis (see :func:`giant_pe_basis`)
-    with padding rows zeroed; node_mask: (N_pad,) 1.0 on real rows.
+    q0: (N_pad, k) deterministic start basis (see :func:`giant_pe_basis`;
+    the guard-column count is fully encoded in its width k — guarded
+    whitening engages whenever k exceeds pos_size) with padding rows
+    zeroed; node_mask: (N_pad,) 1.0 on real rows.
     Returns (N_pad, pos_size) f32 — descending eigenvalue order,
     sign-canonicalized, row-L2-normalized, zero on padding — matching
     features/positional.py's conventions column for column.
@@ -261,13 +269,10 @@ def giant_graph_embedding(
     # weight-0 edges are masked throughout, so the extra compute is a
     # few % — worth it for any multi-graph dataset). The dense partition
     # stays exact: its memory is N²-proportional and the partition
-    # itself dominates program size.
-    density = len(src) / max(1, n) ** 2
+    # itself dominates program size. The dense/ring decision is the
+    # shared policy (dense_schedule_wins) choose_partition also applies.
     n_pad_hint = n
-    use_dense = ((n <= 4096 or density >= 0.004)
-                 and (-(-n // d_cnt) * d_cnt) ** 2 * 4 // d_cnt
-                 <= dense_budget_bytes)
-    if not use_dense:
+    if not dense_schedule_wins(len(src), n, d_cnt, dense_budget_bytes):
         step = 256 * d_cnt
         n_pad_hint = -(-n // step) * step
 
@@ -301,7 +306,7 @@ def giant_graph_embedding(
     # cached program (_giant_pe_fn).
     n_key = min(n, pos_size + 2)
     pe = np.asarray(_giant_pe_fn(
-        type(pg_pe), n_pad, mesh, n_key, pos_size, iters, guards
+        type(pg_pe), n_pad, mesh, n_key, pos_size, iters
     )(pe_args, q0_d, mask_d))
 
     # Degree embedding + seed flag on host (once per graph, eval path):
@@ -338,7 +343,7 @@ def _bucket_ring(pg: RingPartitionedGraph) -> RingPartitionedGraph:
 
 
 @lru_cache(maxsize=64)
-def _giant_pe_fn(pg_type, num_nodes, mesh, n_key, pos_size, iters, guards):
+def _giant_pe_fn(pg_type, num_nodes, mesh, n_key, pos_size, iters):
     """Memoized jitted PE program per (partition type, padded shape,
     mesh, static PE config) — a fresh closure per call would retrace
     and recompile every graph (~20 s each through a remote relay)."""
@@ -346,8 +351,7 @@ def _giant_pe_fn(pg_type, num_nodes, mesh, n_key, pos_size, iters, guards):
     def run(pa, q0, m):
         pg = pg_type(num_nodes=num_nodes, **pa)
         return giant_laplacian_pe(pg, q0, m, mesh, num_real_nodes=n_key,
-                                  pos_size=pos_size, iters=iters,
-                                  guards=guards)
+                                  pos_size=pos_size, iters=iters)
 
     return run
 

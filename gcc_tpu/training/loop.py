@@ -317,14 +317,27 @@ def run_pretrain(
         def drain(entry):
             s0, m = entry
             losses = m["loss"]
+            overflow = m.get("e2e_split_overflow")
             for j in range(len(losses)):
                 s = s0 + j
                 loss = float(losses[j])
                 loss_meter.update(loss)
-                mfile.write(json.dumps(
-                    {"step": s, "loss": loss,
-                     "prob": float(m["prob"][j]),
-                     "grad_norm": float(m["grad_norm"][j])}) + "\n")
+                rec = {"step": s, "loss": loss,
+                       "prob": float(m["prob"][j]),
+                       "grad_norm": float(m["grad_norm"][j])}
+                if overflow is not None:
+                    # Size-routed E2E split: >0 means pairs beyond the
+                    # big-class capacity were TRUNCATED this step
+                    # (config.py ContrastConfig.e2e_split) — surface it,
+                    # don't let it degrade training silently.
+                    ov = int(overflow[j])
+                    rec["e2e_split_overflow"] = ov
+                    if ov:
+                        log_fn(f"WARNING step {s}: e2e split overflow "
+                               f"{ov} pairs truncated — raise the "
+                               f"large-class capacity in "
+                               f"ContrastConfig.e2e_split")
+                mfile.write(json.dumps(rec) + "\n")
                 tb.scalar("moco_loss", loss, s)
                 tb.scalar("moco_prob", float(m["prob"][j]), s)
                 if (s + 1) % cfg.print_freq == 0:

@@ -92,28 +92,25 @@ def make_packed_multi_step(
     pos_size = cfg.encoder.positional_embedding_size
     pe_method = cfg.encoder.pe_method
     # E2E size-routed sub-forwards (config.py ContrastConfig.e2e_split):
-    # statically enabled for the E2E objective when the spec parses to a
-    # valid ascending class list with a non-empty top class; requires
-    # the stacked compact wire (checked per batch below — DP-sharded
-    # wires and padded layouts keep the unsplit path).
-    split_classes = (parse_e2e_split(cfg.contrast.e2e_split,
-                                     cfg.batch_size, n_max)
-                     if not cfg.contrast.moco else None)
-    step_split = (make_e2e_split_step(cfg, enc, tx)
-                  if split_classes else None)
+    # enabled for the E2E objective with a non-empty spec; requires the
+    # stacked compact wire (checked per batch below — DP-sharded wires,
+    # padded layouts, and unstacked single-step dispatches keep the
+    # unsplit path). The class list is parsed per batch against the
+    # WIRE's actual batch width and bucket tag (TrainConfig and
+    # PipelineConfig batch sizes are set independently by callers;
+    # every other featurize path takes b from the wire too).
+    use_split = bool(not cfg.contrast.moco and cfg.contrast.e2e_split)
+    step_split = make_e2e_split_step(cfg, enc, tx) if use_split else None
 
     def multi_step(packed, batches_q, batches_k):
         state = unpack(packed)
 
         meta = getattr(batches_q, "meta", None)
-        if (split_classes and isinstance(batches_q, CompactWireBatch)
+        if (use_split and isinstance(batches_q, CompactWireBatch)
                 and meta is not None and meta.ndim == 3):
-            # Routed tags change n_max; re-parse against the batch's tag
-            # (stacked E2E items carry tag 0 → the configured n_max).
-            classes = (split_classes if not batches_q.n_max
-                       else parse_e2e_split(cfg.contrast.e2e_split,
-                                            cfg.batch_size,
-                                            batches_q.n_max))
+            classes = parse_e2e_split(cfg.contrast.e2e_split,
+                                      int(meta.shape[-1]),
+                                      batches_q.n_max or n_max)
             if classes:
                 feats, overflow = featurize_e2e_split(
                     batches_q, batches_k, pos_size, pe_method,

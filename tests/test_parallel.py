@@ -695,7 +695,7 @@ def test_giant_pe_matches_exact_eigh(schedule):
     pe = jax.jit(
         lambda pa, q, m: giant_laplacian_pe(
             pg_rebuild(pg, pa), q, m, mesh, num_real_nodes=n,
-            pos_size=pos, iters=64, guards=16)
+            pos_size=pos, iters=64)
     )(pa, jax.device_put(q0, sh), jax.device_put(mask, sh))
     pe = np.asarray(pe)
     assert pe.shape == (n_pad, pos)
