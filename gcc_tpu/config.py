@@ -172,8 +172,14 @@ def _from_dict(cls: Any, d: dict) -> Any:
     }
     for name, sub in nested.items():
         if name in kwargs and isinstance(kwargs[name], dict):
+            # Drop keys the current dataclass no longer has: a sidecar
+            # written before a field rename/removal must keep loading
+            # (the unknown field's value is definitionally unused by
+            # current code). Unknown top-level keys are already dropped
+            # by the comprehension above.
+            known = {f.name for f in dataclasses.fields(sub)}
             kwargs[name] = sub(**{
                 k: tuple(v) if isinstance(v, list) else v
-                for k, v in kwargs[name].items()
+                for k, v in kwargs[name].items() if k in known
             })
     return cls(**kwargs)

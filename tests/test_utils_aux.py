@@ -150,3 +150,19 @@ def test_checkpoint_v2_restore_fills_nce_z(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   v2_state["params"]["w"])
     assert int(restored["step"]) == 7
+
+
+def test_config_sidecar_tolerates_unknown_fields():
+    """A config.json written by an older build (fields since renamed or
+    removed) must still load: unknown nested keys are dropped
+    (config._from_dict), so checkpoints survive config evolution."""
+    import json
+
+    from gcc_tpu.config import TrainConfig
+
+    d = json.loads(TrainConfig().to_json())
+    d["contrast"]["e2e_split_small"] = 240      # removed in round 4
+    d["contrast"]["some_future_field"] = "x"
+    d["retired_top_level"] = 1
+    cfg = TrainConfig.from_json(json.dumps(d))
+    assert cfg.contrast.nce_t == TrainConfig().contrast.nce_t
