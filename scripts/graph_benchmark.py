@@ -181,9 +181,13 @@ def main():
     state = SimpleNamespace(**load_checkpoint(args.ckpt))
     emb = generate_graph_embeddings(cfg, state, graphs, n_max=args.n_max,
                                     e_max=args.e_max)
+    dh = degree_histogram_embeddings(graphs)
     print("gcc        ", evaluate_graph_embeddings(emb, y), flush=True)
-    print("degree-hist", evaluate_graph_embeddings(
-        degree_histogram_embeddings(graphs), y), flush=True)
+    print("degree-hist", evaluate_graph_embeddings(dh, y), flush=True)
+    # Complementarity probe: does the GCC embedding carry structure the
+    # degree histogram lacks (concat beats both), or is it subsumed?
+    print("gcc+dh     ", evaluate_graph_embeddings(
+        np.concatenate([emb, dh], axis=1), y), flush=True)
     counts = np.bincount(y)
     print(f"majority    {{'Micro-F1': {counts.max() / counts.sum():.4f}}}",
           flush=True)
