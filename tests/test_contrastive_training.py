@@ -806,3 +806,22 @@ def test_e2e_split_step_trains_and_reports_overflow():
     _, metrics = step_fn(pack(state), wq2, wk2)
     assert np.asarray(metrics["e2e_split_overflow"]).tolist() == [2]
     assert np.isfinite(float(metrics["loss"][0]))
+
+
+def test_parse_e2e_split_edge_cases():
+    """Spec parsing: valid specs gain the full-bucket remainder class;
+    inapplicable specs (capacity >= batch, non-ascending or duplicate
+    buckets, bucket >= n_max, empty, missing n_max) disable cleanly."""
+    from gcc_tpu.training.pretrain import parse_e2e_split
+
+    assert parse_e2e_split("128:240", 256, 256) == ((128, 240), (256, 16))
+    assert parse_e2e_split("80:224,128:20", 256, 256) == (
+        (80, 224), (128, 20), (256, 12))
+    assert parse_e2e_split("", 256, 256) is None
+    assert parse_e2e_split("128:240", 256, None) is None
+    assert parse_e2e_split("128:240", 240, 256) is None   # no remainder
+    assert parse_e2e_split("128:256", 256, 256) is None   # cap >= batch
+    assert parse_e2e_split("128:100,80:100", 256, 256) is None  # order
+    assert parse_e2e_split("128:100,128:100", 256, 256) is None  # dup
+    assert parse_e2e_split("256:100", 256, 256) is None   # >= n_max
+    assert parse_e2e_split("128:0", 256, 256) is None     # empty class
