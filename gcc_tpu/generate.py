@@ -116,6 +116,62 @@ def node_subgraphs(
     return run(2 * seeds), run(2 * seeds + 1)
 
 
+def generate_graph_readouts(
+    cfg: TrainConfig,
+    state,
+    graphs: list[CSRGraph],
+    n_max: int = 256,
+    e_max: int = 8192,
+    batch_size: int = 64,
+) -> dict:
+    """Entire-graph encode capturing every readout ingredient.
+
+    The reference's graph-level embedding is the 64-d summed-head score
+    alone (generate.py:33-53); its GIN also computes per-layer pooled
+    activations (gin.py:194-231 `all_outputs`) that never reach the
+    freeze protocol. This returns them all so readout composition can be
+    evaluated per variant (scripts/graph_readout_ab.py):
+
+      {"score": (G, out), "pooled": [num_layers arrays (G, F_l)],
+       "n_nodes": (G,)}
+
+    GIN-only (the alternates expose no per-layer pooled outputs)."""
+    enc = GraphEncoder(cfg.encoder)
+    max_b = max(1, (1 << 30) // max(1, n_max * n_max * 4))
+    batch_size = min(batch_size, max_b)
+
+    @jax.jit
+    def encode(params, stats, batch):
+        feats = featurize_batch(
+            batch, cfg.encoder.positional_embedding_size,
+            pe_method=cfg.encoder.pe_method, profile="eval",
+        )
+        return enc.apply(
+            {"params": params, "batch_stats": stats}, feats, train=False,
+            return_all_outputs=True,
+        )
+
+    subs = [entire_graph_subgraph(g) for g in graphs]
+    weights = jax.device_put((state.params, state.batch_stats))
+    scores, pooled_chunks = [], []
+    for i in range(0, len(subs), batch_size):
+        chunk = subs[i : i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = chunk + [chunk[-1]] * pad
+        batch = batch_subgraphs(chunk, n_max=n_max, e_max=e_max)
+        score, pooled = encode(*weights, jax.device_put(batch))
+        keep = batch_size - pad
+        scores.append(np.asarray(score)[:keep])
+        pooled_chunks.append([np.asarray(p)[:keep] for p in pooled])
+    return {
+        "score": np.concatenate(scores, axis=0),
+        "pooled": [np.concatenate(layer, axis=0)
+                   for layer in zip(*pooled_chunks)],
+        "n_nodes": np.array([g.num_nodes for g in graphs], np.float32),
+    }
+
+
 def graph_subgraphs(graphs: list[CSRGraph]) -> list[Subgraph]:
     """Entire-graph mode for graph classification (reference
     graph_dataset.py:327-361)."""

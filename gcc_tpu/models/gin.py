@@ -12,9 +12,12 @@ per conv layer i (num_layers-1 of them):
 
 readout: for every hidden_rep [input, h_1, .., h_{L-1}]:
     score += Dropout(Linear_pred_i(sum_pool_i))
-returns (score, per-layer pooled activations of h_1..h_{L-1}) — the
-pooled activations are the reference's `all_outputs[1:]`, the allclose
-parity target named in SURVEY.md §7.
+returns (score, per-layer pooled activations of [input, h_1..h_{L-1}]) —
+entries [1:] are the reference's `all_outputs[1:]`, the allclose parity
+target named in SURVEY.md §7; entry [0] (the pooled INPUT features,
+a superset of what the reference returns) is exposed for graph-level
+readout composition (docs/PERF.md "graph benchmark": the pooled degree
+-embedding row is the trained analog of a degree histogram).
 
 Aggregation runs on the dense per-batch adjacency (one batched matmul on
 the MXU per layer) — see gcc_tpu/ops/aggregate.py for why this is the
@@ -85,7 +88,9 @@ class UnsupervisedGIN(nn.Module):
     def __call__(self, h, adj, node_mask, train: bool = True):
         """h: (B, N, F_in); adj: (B, N, N); node_mask: (B, N).
 
-        Returns (score: (B, output_dim), pooled: list of (B, hidden_dim)).
+        Returns (score: (B, output_dim), pooled: list of num_layers
+        arrays — entry 0 is (B, F_in) pooled input, the rest
+        (B, hidden_dim) pooled conv activations).
         """
         ura = not train  # use running averages in eval mode
 
@@ -113,4 +118,4 @@ class UnsupervisedGIN(nn.Module):
             out = Linear(self.output_dim)(pooled)
             out = nn.Dropout(self.final_dropout, deterministic=not train)(out)
             score = score + out
-        return score, pooled_all[1:]
+        return score, pooled_all

@@ -12,16 +12,26 @@ from sklearn.svm import SVC
 
 
 def evaluate_graph_embeddings(
-    embeddings: np.ndarray, labels: np.ndarray, seed: int = 0
+    embeddings: np.ndarray, labels: np.ndarray, seed: int = 0,
+    standardize: bool = False,
 ) -> dict:
+    """standardize=True z-scores features with a StandardScaler fit on
+    each fold's TRAIN split only (no test leakage) — the RBF SVC is
+    scale-sensitive, and raw pooled-sum readouts span orders of
+    magnitude across feature columns; the reference protocol feeds
+    L2-normalized scores so it never needed this."""
     kf = StratifiedKFold(n_splits=10, shuffle=True, random_state=seed)
     accuracies = []
     for train_idx, test_idx in kf.split(embeddings, labels):
+        tr, te = embeddings[train_idx], embeddings[test_idx]
+        if standardize:
+            from sklearn.preprocessing import StandardScaler
+
+            scaler = StandardScaler().fit(tr)
+            tr, te = scaler.transform(tr), scaler.transform(te)
         clf = SVC(C=100000)
-        clf.fit(embeddings[train_idx], labels[train_idx])
-        accuracies.append(
-            accuracy_score(labels[test_idx], clf.predict(embeddings[test_idx]))
-        )
+        clf.fit(tr, labels[train_idx])
+        accuracies.append(accuracy_score(labels[test_idx], clf.predict(te)))
     return {"Micro-F1": float(np.mean(accuracies))}
 
 

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Graph-level readout composition A/B on the sub-ceiling graph benchmark.
+
+VERDICT r4 item 1: frozen GCC entire-graph embeddings (the reference's
+64-d summed-head score, generate.py:33-53) scored 0.717 on the 6-family
+graph benchmark — below a trivial 19-d degree histogram (0.803). The
+reference's GIN computes richer graph-level quantities that its freeze
+protocol never uses: per-layer pooled activations (gin.py:194-231
+`all_outputs`, incl. the pooled input features whose degree-embedding
+block is a TRAINED degree histogram). This script encodes the benchmark
+ONCE (generate_graph_readouts) and scores every readout composition with
+the reference SVC(C=1e5) 10-fold protocol, so the variants differ only
+in host-side assembly — one chip program, paired evaluation.
+
+Variants (all frozen; no benchmark-side training of GCC weights):
+  score          64-d summed-head score (r4 baseline = the reference)
+  layercat       concat per-layer pooled conv activations (4x64)
+  layercat+in    + pooled input features (49-d: PE + deg-emb + seed)
+  *_mean         pooled sums divided by n (size-normalized)
+  *_l2           each layer block L2-normalized before concat
+  score+layercat the score appended to layercat+in
+Each also evaluated with per-fold standardization (StandardScaler fit
+on train folds — evaluate_graph_embeddings(standardize=True)), since
+pooled-sum magnitudes span orders of magnitude across columns.
+
+Usage:
+  python scripts/graph_readout_ab.py --ckpt /tmp/gcc_tpu_pe_ab_100ep/subspace-g0_s0/*/current
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _l2(x, axis=-1):
+    n = np.linalg.norm(x, axis=axis, keepdims=True)
+    return x / np.where(n == 0, 1.0, n)
+
+
+def assemble_variants(ro: dict) -> dict[str, np.ndarray]:
+    """Readout variants from generate_graph_readouts output."""
+    score, pooled, n = ro["score"], ro["pooled"], ro["n_nodes"][:, None]
+    conv = pooled[1:]
+    v = {
+        "score": score,
+        "layercat": np.concatenate(conv, axis=1),
+        "layercat+in": np.concatenate(pooled, axis=1),
+        "layercat_mean": np.concatenate([p / n for p in conv], axis=1),
+        "layercat+in_mean": np.concatenate([p / n for p in pooled], axis=1),
+        "layercat_l2": np.concatenate([_l2(p) for p in conv], axis=1),
+        "layercat+in_l2": np.concatenate([_l2(p) for p in pooled], axis=1),
+        "in_pooled": pooled[0],
+        "in_pooled_mean": pooled[0] / n,
+    }
+    v["score+layercat"] = np.concatenate([score, v["layercat+in"]], axis=1)
+    v["sum+mean"] = np.concatenate(
+        [v["layercat+in"], v["layercat+in_mean"]], axis=1)
+    # Composites of the strongest blocks (first sweep, docs/PERF.md
+    # "graph readout"): the mean-pooled INPUT features (trained
+    # degree-embedding row + PE sums — 0.8194 alone) carry the degree
+    # law; per-layer L2'd conv sums (0.7694) carry the learned
+    # structure with magnitudes equalized so neither block drowns.
+    v["inmean+convl2"] = np.concatenate(
+        [pooled[0] / n] + [_l2(p) for p in conv], axis=1)
+    v["inmean+convmean"] = np.concatenate([p / n for p in pooled], axis=1)
+    v["insum+inmean+convl2"] = np.concatenate(
+        [pooled[0], pooled[0] / n] + [_l2(p) for p in conv], axis=1)
+    v["inmean+convl2+score"] = np.concatenate(
+        [pooled[0] / n] + [_l2(p) for p in conv] + [score], axis=1)
+    return v
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--graphs-per-class", type=int, default=60)
+    ap.add_argument("--n-max", type=int, default=256)
+    ap.add_argument("--e-max", type=int, default=8192)
+    ap.add_argument("--out", default="/tmp/gcc_tpu_graph_readout_ab.json")
+    ap.add_argument("--cache", default="/tmp/gcc_tpu_graph_readouts.npz",
+                    help="npz cache of the chip encode pass; when present "
+                         "the whole sweep runs host-only (variant "
+                         "iteration never re-touches the chip)")
+    args = ap.parse_args()
+    ckpts = sorted(glob.glob(args.ckpt))
+    if not ckpts:
+        sys.exit(f"no checkpoint matches {args.ckpt}")
+    ckpt = ckpts[0]
+
+    from graph_benchmark import build_graph_benchmark, degree_histogram_embeddings
+
+    from gcc_tpu.tasks.graph_classification import evaluate_graph_embeddings
+
+    graphs, y = build_graph_benchmark(args.graphs_per_class)
+    print(f"benchmark: {len(graphs)} graphs, 6 classes", flush=True)
+
+    if args.cache and os.path.exists(args.cache):
+        z = np.load(args.cache)
+        if z["ckpt"] != ckpt:
+            sys.exit(f"cache {args.cache} is for {z['ckpt']}, not {ckpt} "
+                     f"— delete it to re-encode")
+        ro = {"score": z["score"],
+              "pooled": [z[f"pooled{i}"] for i in range(int(z["n_pooled"]))],
+              "n_nodes": z["n_nodes"]}
+        print(f"loaded cached readouts from {args.cache}", flush=True)
+    else:
+        from types import SimpleNamespace
+
+        from gcc_tpu.cli import _enable_compilation_cache
+        from gcc_tpu.generate import generate_graph_readouts
+        from gcc_tpu.training.checkpoint import load_checkpoint, load_config
+
+        _enable_compilation_cache()
+        cfg = load_config(os.path.dirname(ckpt))
+        state = SimpleNamespace(**load_checkpoint(ckpt))
+        ro = generate_graph_readouts(cfg, state, graphs, n_max=args.n_max,
+                                     e_max=args.e_max)
+        if args.cache:
+            np.savez(args.cache, ckpt=ckpt, score=ro["score"],
+                     n_nodes=ro["n_nodes"], n_pooled=len(ro["pooled"]),
+                     **{f"pooled{i}": p for i, p in enumerate(ro["pooled"])})
+            print(f"cached readouts to {args.cache}", flush=True)
+    dh = degree_histogram_embeddings(graphs)
+
+    rows = {}
+
+    def ev(name, emb, std):
+        key = f"{name}{'/std' if std else ''}"
+        rows[key] = evaluate_graph_embeddings(emb, y, standardize=std)[
+            "Micro-F1"]
+        print(f"{key:24s} {rows[key]:.4f}", flush=True)
+
+    ev("degree-hist", dh, False)
+    ev("degree-hist", dh, True)
+    variants = assemble_variants(ro)
+    for name, emb in variants.items():
+        for std in (False, True):
+            ev(name, emb, std)
+    # Complementarity probe for the best GCC-alone variant.
+    best = max((k for k in rows if not k.startswith("degree-hist")),
+               key=lambda k: rows[k])
+    bname = best.split("/")[0]
+    ev(f"{bname}+dh", np.concatenate([variants[bname], dh], axis=1),
+       best.endswith("/std"))
+    counts = np.bincount(y)
+    rows["majority"] = float(counts.max() / counts.sum())
+    print(f"best GCC-alone: {best} = {rows[best]:.4f}", flush=True)
+    with open(args.out, "w") as f:
+        json.dump({"ckpt": ckpt, "results": rows, "best": best}, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

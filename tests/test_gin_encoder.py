@@ -117,7 +117,7 @@ def oracle_forward(variables, feats, cfg, train):
 
     norm = np.linalg.norm(score, axis=-1, keepdims=True)
     out = score / np.maximum(norm, 1e-5)
-    return out, pooled_all[1:]
+    return out, pooled_all
 
 
 @pytest.mark.parametrize("train", [False, True])
@@ -135,7 +135,7 @@ def test_gin_matches_numpy_oracle(train):
         )
     ref_out, ref_pooled = oracle_forward(variables, feats, CFG, train)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4)
-    assert len(pooled) == 4
+    assert len(pooled) == 5
     for a, b in zip(pooled, ref_pooled):
         np.testing.assert_allclose(np.asarray(a), b, atol=2e-3)
 
