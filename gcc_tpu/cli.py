@@ -221,7 +221,8 @@ def cmd_generate(args):
         # giant path (whole-graph PE over the "part" mesh axis —
         # generate.generate_graph_embeddings).
         emb = generate_graph_embeddings(cfg, state, graphs,
-                                        n_max=args.n_max, e_max=args.e_max)
+                                        n_max=args.n_max, e_max=args.e_max,
+                                        readout=args.graph_readout)
     else:
         from gcc_tpu.data.formats import create_node_classification_dataset
 
@@ -359,6 +360,14 @@ def main(argv=None):
     p.add_argument("--data-root", default="data")
     p.add_argument("--n-max", type=int, default=512)
     p.add_argument("--e-max", type=int, default=8192)
+    p.add_argument("--graph-readout", default="score",
+                   choices=["score", "composite"],
+                   help="graph-classification datasets only: 'score' = "
+                        "the reference's 64-d summed-head embedding; "
+                        "'composite' = mean-pooled input + per-layer "
+                        "L2'd conv sums (beats an explicit degree "
+                        "histogram on the sub-ceiling benchmark — "
+                        "generate.composite_graph_readout)")
     p.set_defaults(fn=cmd_generate)
 
     for name, fn in [("eval-node", cmd_eval_node), ("eval-graph", cmd_eval_graph)]:

@@ -63,10 +63,14 @@ def normalized_adjacency(
     # scatter-add which serializes on the VPU (~1 ms at bucket 256).
     deg = node_degrees(batch, adj)
     inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+    # f32 compute (adj promotes against the f32 scales), storage in the
+    # adjacency dtype: under GCC_TPU_ADJ_DTYPE=bf16 the materialized
+    # (B, N, N) operator halves its HBM footprint.
     m = adj * inv_sqrt[:, :, None] * inv_sqrt[:, None, :]
     n = batch.node_mask.shape[1]
     pad_diag = (1.0 - batch.node_mask) * _PAD_EIGENVALUE
-    return m + pad_diag[:, :, None] * jnp.eye(n, dtype=m.dtype)
+    return (m + pad_diag[:, :, None] * jnp.eye(n, dtype=m.dtype)).astype(
+        adj.dtype)
 
 
 def laplacian_positional_embedding(
@@ -196,8 +200,10 @@ def _subspace_topk(
         eye = jnp.eye(n, dtype=m.dtype)
         pad = 1.0 - batch.node_mask
         # normalized_adjacency pinned padding at -2; move it to -1 so
-        # the +1 shift sends it to 0 (lowest modulus).
-        m_shift = m + (pad[:, :, None] * eye) + eye
+        # the +1 shift sends it to 0 (lowest modulus). Stored in m's
+        # dtype (bf16 under GCC_TPU_ADJ_DTYPE; the f32 mask promotes
+        # the intermediate, so cast back).
+        m_shift = (m + (pad[:, :, None] * eye) + eye).astype(m.dtype)
     # else: the fused featurize kernel already emitted exactly this
     # operator (ops/featurize_pallas.py, equality pinned by test).
 
@@ -206,7 +212,7 @@ def _subspace_topk(
     # generating it with jax.random.normal would re-run threefry on
     # (B, n, k) every step (~0.5 ms at the canonical bucket).
     q0_const = jnp.asarray(
-        np.random.default_rng(2).standard_normal((n, k)), m_shift.dtype
+        np.random.default_rng(2).standard_normal((n, k)), jnp.float32
     )
     q = jnp.broadcast_to(q0_const, (b, n, k)) * batch.node_mask[:, :, None]
 
@@ -281,9 +287,9 @@ def _subspace_topk(
             )
             if (i + 1) % orth_every == 0 and i != iters - 1:
                 q = orth_ns(q)
-        for _ in range(2):  # f32 polish
+        for _ in range(2):  # f32 polish (bf16-stored m converts in-read)
             q = colnorm(jax.lax.dot_general(
-                m_shift, q,
+                m_shift.astype(jnp.float32), q,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ))
@@ -334,7 +340,8 @@ def _subspace_topk(
     # difference contributes qᵀΔq = 0 — this avoids keeping a second
     # dense (B, N, N) M alive.
     mq = jax.lax.dot_general(
-        m_shift, q, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        m_shift.astype(jnp.float32), q,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     t = jnp.einsum("bni,bnj->bij", q, mq)

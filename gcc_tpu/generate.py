@@ -12,6 +12,8 @@ compiled program serves any dataset size.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -136,21 +138,13 @@ def generate_graph_readouts(
        "n_nodes": (G,)}
 
     GIN-only (the alternates expose no per-layer pooled outputs)."""
-    enc = GraphEncoder(cfg.encoder)
     max_b = max(1, (1 << 30) // max(1, n_max * n_max * 4))
     batch_size = min(batch_size, max_b)
-
-    @jax.jit
-    def encode(params, stats, batch):
-        feats = featurize_batch(
-            batch, cfg.encoder.positional_embedding_size,
-            pe_method=cfg.encoder.pe_method, profile="eval",
-        )
-        return enc.apply(
-            {"params": params, "batch_stats": stats}, feats, train=False,
-            return_all_outputs=True,
-        )
-
+    # Module-level cached jit (the _giant_pe_fn pattern): weights are
+    # ARGUMENTS, so sweeping many checkpoints at one config reuses one
+    # compiled program (a per-call closure would recompile each time —
+    # ~20 s each through the remote-compile relay).
+    encode = _readout_encode_fn(cfg.encoder)
     subs = [entire_graph_subgraph(g) for g in graphs]
     weights = jax.device_put((state.params, state.batch_stats))
     scores, pooled_chunks = [], []
@@ -172,6 +166,47 @@ def generate_graph_readouts(
     }
 
 
+@functools.lru_cache(maxsize=8)
+def _readout_encode_fn(enc_cfg):
+    enc = GraphEncoder(enc_cfg)
+
+    @jax.jit
+    def encode(params, stats, batch):
+        feats = featurize_batch(
+            batch, enc_cfg.positional_embedding_size,
+            pe_method=enc_cfg.pe_method, profile="eval",
+        )
+        return enc.apply(
+            {"params": params, "batch_stats": stats}, feats, train=False,
+            return_all_outputs=True,
+        )
+
+    return encode
+
+
+def composite_graph_readout(ro: dict) -> np.ndarray:
+    """The measured-best frozen graph-level readout ("inmean+convl2").
+
+    concat(mean-pooled input features, per-layer L2-normalized pooled
+    conv activations). On the 6-family sub-ceiling graph benchmark this
+    scores 0.828 vs 0.717 for the reference's score readout and 0.803
+    for an explicit degree histogram (scripts/graph_readout_ab.py,
+    round 5; the mean-pooled trained degree-embedding block alone is
+    0.836 — the attribution: the contrastively-trained 64-d score is
+    not a sufficient statistic for the degree LAW, while the input
+    featurizer's pooled degree-embedding is). Generic composition — no
+    per-benchmark tuning: every pooled layer enters, magnitudes
+    equalized by L2 so no block drowns another."""
+    pooled, n = ro["pooled"], ro["n_nodes"][:, None]
+
+    def _unit(x):
+        m = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.where(m == 0, 1.0, m)
+
+    return np.concatenate(
+        [pooled[0] / n] + [_unit(p) for p in pooled[1:]], axis=1)
+
+
 def graph_subgraphs(graphs: list[CSRGraph]) -> list[Subgraph]:
     """Entire-graph mode for graph classification (reference
     graph_dataset.py:327-361)."""
@@ -187,8 +222,14 @@ def generate_graph_embeddings(
     batch_size: int = 64,
     mesh=None,
     giant_iters: int = 64,
+    readout: str = "score",
 ) -> np.ndarray:
     """Entire-graph embeddings with automatic giant-graph routing.
+
+    readout: "score" (the reference protocol, generate.py:33-53) or
+    "composite" (:func:`composite_graph_readout` — the measured-best
+    frozen graph-level readout; GIN-only, dense-bucket graphs only:
+    the partitioned giant path exposes no per-layer pooled outputs).
 
     Graphs that fit the dense bucket (num_nodes <= n_max; the measured
     single-chip dense envelope is ~8k nodes, docs/PERF.md "Partitioned
@@ -201,6 +242,17 @@ def generate_graph_embeddings(
     `graphs`."""
     small = [i for i, g in enumerate(graphs) if g.num_nodes <= n_max]
     giant = [i for i, g in enumerate(graphs) if g.num_nodes > n_max]
+    if readout == "composite":
+        if giant:
+            raise NotImplementedError(
+                "readout='composite' needs per-layer pooled outputs, "
+                "which the partitioned giant path does not expose — "
+                "raise n_max to cover the graphs or use readout='score'")
+        ro = generate_graph_readouts(cfg, state, graphs, n_max=n_max,
+                                     e_max=e_max, batch_size=batch_size)
+        return composite_graph_readout(ro)
+    if readout != "score":
+        raise ValueError(f"unknown graph readout: {readout!r}")
     out = np.zeros((len(graphs), cfg.encoder.output_size), np.float32)
     if small:
         subs = [entire_graph_subgraph(graphs[i]) for i in small]

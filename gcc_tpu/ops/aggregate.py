@@ -27,6 +27,25 @@ import jax.numpy as jnp
 from gcc_tpu.graph.batch import PaddedSubgraphBatch
 
 
+def adj_dtype():
+    """Storage dtype for the dense (B, N, N) adjacency chain.
+
+    GCC_TPU_ADJ_DTYPE=bf16 halves the HBM bytes of the largest arrays
+    in the train step (the adjacency + its normalized/shifted PE
+    operator — docs/PERF.md "Roofline": the step executes at 94% of its
+    HBM demand, so bytes ARE the wall). Exactness: bf16 has an 8-bit
+    mantissa, so integer edge multiplicities ≤ 256 are represented
+    exactly and the scatter-add builder below stays exact (RWR induced
+    subgraphs carry per-pair multiplicities far below that); the
+    normalized Laplacian entries and aggregation activations round to
+    ~0.4% relative, gated by the PE ARPACK oracle and the v2 downstream
+    benchmark (docs/PERF.md "bf16 adjacency A/B"). Default f32."""
+    import os
+
+    return (jnp.bfloat16 if os.environ.get("GCC_TPU_ADJ_DTYPE") == "bf16"
+            else jnp.float32)
+
+
 def aggregate_sum_segment(
     h: jax.Array, batch: PaddedSubgraphBatch
 ) -> jax.Array:
@@ -77,7 +96,7 @@ def build_dense_adjacency(batch: PaddedSubgraphBatch) -> jax.Array:
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )
-    return jnp.swapaxes(counts_t, 1, 2).astype(jnp.float32)
+    return jnp.swapaxes(counts_t, 1, 2).astype(adj_dtype())
 
 
 def build_dense_adjacency_compact(
@@ -125,10 +144,14 @@ def build_dense_adjacency_compact(
     flat = ggid * (n_max * n_max) + dst * n_max + src
     oob = s * b * n_max * n_max
     tgt = jnp.where(live, flat, oob)  # OOB -> dropped
+    # Scatter directly into the storage dtype: bf16 increments are exact
+    # for counts ≤ 256 (see adj_dtype), and a separate f32 build + cast
+    # would pay an extra full pass over the (S·B, N, N) block.
+    dt = adj_dtype()
     adj = (
-        jnp.zeros(s * b * n_max * n_max, jnp.float32)
+        jnp.zeros(s * b * n_max * n_max, dt)
         .at[tgt.reshape(-1)]
-        .add(1.0, mode="drop")
+        .add(jnp.ones((), dt), mode="drop")
     )
     return adj.reshape(s * b, n_max, n_max)
 
@@ -147,7 +170,13 @@ def build_dense_adjacency_scatter(batch: PaddedSubgraphBatch) -> jax.Array:
 
 
 def aggregate_sum_dense(h: jax.Array, adj: jax.Array) -> jax.Array:
-    """Batched A @ h on the MXU. adj from :func:`build_dense_adjacency`."""
+    """Batched A @ h on the MXU. adj from :func:`build_dense_adjacency`.
+
+    With a bf16 adjacency (adj_dtype), h is fed to the dot in bf16 as
+    well — the MXU multiplies in bf16 regardless, so the only change is
+    the activations' storage rounding; accumulation stays f32."""
+    if adj.dtype == jnp.bfloat16:
+        h = h.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         adj,
         h,
@@ -194,7 +223,10 @@ def node_degrees(
     is bandwidth-only, while the edge scatter-add serializes on the VPU.
     """
     if adj is not None:
-        return adj.sum(axis=2)  # A[b, v, u]: in-degree of v sums over u
+        # f32 accumulation: bf16 partial sums would round integer
+        # degrees past 256 (spacing 2 at [256, 512)); the convert fuses
+        # into the reduce, so the read still moves adj-dtype bytes.
+        return adj.sum(axis=2, dtype=jnp.float32)  # in-degree of v
     b, n = batch.node_mask.shape
     deg = jax.ops.segment_sum(
         batch.edge_weight, batch.edges_dst, num_segments=b * n

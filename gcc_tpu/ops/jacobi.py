@@ -148,6 +148,26 @@ def unsorted_tournament(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(layouts[0], np.int32), pi
 
 
+def _v_dtype():
+    """Storage dtype for the eigenvector accumulator V across rounds.
+
+    GCC_TPU_JACOBI_V_DTYPE=bf16 halves the V read+write traffic of the
+    round chain (docs/PERF.md lever 2: V is one of three (n, n, B)-sized
+    streams per round; the chain is HBM-bound). Each round then rounds V
+    to bf16 (~0.4% relative) after an f32 rotation — a random-walk error
+    of ~sqrt(rounds)·2^-9 ≈ 2% over 155 rounds on the Ritz ROTATION only;
+    the Ritz VALUES and their order come from T, which stays f32, so the
+    order-stability property the sweep-count A/B showed matters
+    downstream is untouched. Default f32."""
+    import os
+
+    import jax.numpy as jnp
+
+    return (jnp.bfloat16
+            if os.environ.get("GCC_TPU_JACOBI_V_DTYPE") == "bf16"
+            else jnp.float32)
+
+
 def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
                 descending: bool = False, sort: bool = True,
                 layout: str = "lane"):
@@ -199,7 +219,8 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
     # layout back to round-0 form every n-1 re-pairs).
     a = a[..., layout0, :][..., :, layout0]
     eye0 = np.eye(n, dtype=np.float32)[np.asarray(layout0)]
-    vt = jnp.broadcast_to(jnp.asarray(eye0, a.dtype), a.shape)
+    vdt = _v_dtype()
+    vt = jnp.broadcast_to(jnp.asarray(eye0, vdt), a.shape)
 
     def repair(x, axis):
         # Constant re-pair pi = [0, h, 1..h-2, h+1..n-1, h-1] as static
@@ -231,10 +252,11 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
         cc, sc = c[..., None, :], s[..., None, :]
         a = jnp.concatenate([cc * al - sc * ar, sc * al + cc * ar],
                             axis=-1)
-        # eigenvector accumulation: V^T <- R~ V^T
+        # eigenvector accumulation: V^T <- R~ V^T (f32 rotation math,
+        # stored back in the V dtype — see _v_dtype)
         ve, vo = vt[..., :h, :], vt[..., h:, :]
         vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo],
-                             axis=-2)
+                             axis=-2).astype(vdt)
         # re-pair for the next round (constant slice moves)
         a = repair(repair(a, a.ndim - 2), a.ndim - 1)
         vt = repair(vt, vt.ndim - 2)
@@ -243,7 +265,7 @@ def jacobi_eigh(a, sweeps: int = 5, eps: float = 1e-12,
     inv = np.empty(n, np.int32)
     inv[np.asarray(layout0)] = np.arange(n, dtype=np.int32)
     w = jnp.diagonal(a, axis1=-2, axis2=-1)[..., inv]
-    v = jnp.swapaxes(vt, -1, -2)[..., :, inv]
+    v = jnp.swapaxes(vt, -1, -2).astype(a.dtype)[..., :, inv]
     if not sort:
         return w, v
     return _sort_eig(w, v, n, descending)
@@ -270,7 +292,8 @@ def _jacobi_eigh_bm(a, sweeps: int, eps: float, descending: bool,
     a = jnp.transpose(a, (1, 2, 0))  # (n, n, B)
     a = a[layout0][:, layout0]
     eye0 = np.eye(n, dtype=np.float32)[np.asarray(layout0)]
-    vt = jnp.broadcast_to(jnp.asarray(eye0, a.dtype)[:, :, None], a.shape)
+    vdt = _v_dtype()
+    vt = jnp.broadcast_to(jnp.asarray(eye0, vdt)[:, :, None], a.shape)
 
     def repair(x, axis):
         def take(lo, hi):
@@ -293,7 +316,8 @@ def _jacobi_eigh_bm(a, sweeps: int, eps: float, descending: bool,
         cc, sc = c[None, :, :], s[None, :, :]
         a = jnp.concatenate([cc * al - sc * ar, sc * al + cc * ar], axis=1)
         ve, vo = vt[:h], vt[h:]
-        vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo], axis=0)
+        vt = jnp.concatenate([ce * ve - se * vo, se * ve + ce * vo],
+                             axis=0).astype(vdt)
         a = repair(repair(a, 0), 1)
         vt = repair(vt, 0)
 
@@ -304,7 +328,7 @@ def _jacobi_eigh_bm(a, sweeps: int, eps: float, descending: bool,
     eye_m = jnp.asarray(np.eye(n, dtype=np.float32), a.dtype)[:, :, None]
     w = jnp.sum(a * eye_m, axis=1)               # (n, B), layout order
     w = jnp.transpose(w, (1, 0))[..., inv]       # (B, n)
-    v = jnp.transpose(vt, (2, 1, 0))[..., :, inv]  # (B, n, n) cols=eigvecs
+    v = jnp.transpose(vt, (2, 1, 0)).astype(a.dtype)[..., :, inv]
     w = w.reshape(batch_shape + (n,))
     v = v.reshape(batch_shape + (n, n))
     if not sort:

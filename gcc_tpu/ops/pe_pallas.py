@@ -46,8 +46,10 @@ def _pe_kernel(m_ref, q0_ref, out_ref, *, iters: int, orth_every: int,
     is per-program-overhead-bound at these sizes, so fewer, fatter
     programs win."""
     rounds = max(1, iters // orth_every)
-    m = m_ref[...]    # (G, N, N) f32
+    m = m_ref[...]    # (G, N, N) f32 (or bf16 under GCC_TPU_ADJ_DTYPE —
+    #                    the HBM read halves; compute below is unchanged)
     m_lo = m.astype(power_dtype)
+    m = m.astype(jnp.float32)  # f32 polish math (in-VMEM convert)
     q0 = q0_ref[...]  # (G, k, N) f32
 
     # Batched dot_generals over the G graphs in the block: one Mosaic op

@@ -167,7 +167,7 @@ def main():
     from types import SimpleNamespace
 
     from gcc_tpu.cli import _enable_compilation_cache
-    from gcc_tpu.generate import generate_graph_embeddings
+    from gcc_tpu.generate import composite_graph_readout, generate_graph_readouts
     from gcc_tpu.tasks.graph_classification import evaluate_graph_embeddings
     from gcc_tpu.training.checkpoint import load_checkpoint, load_config
 
@@ -179,15 +179,23 @@ def main():
 
     cfg = load_config(os.path.dirname(args.ckpt))
     state = SimpleNamespace(**load_checkpoint(args.ckpt))
-    emb = generate_graph_embeddings(cfg, state, graphs, n_max=args.n_max,
-                                    e_max=args.e_max)
+    # One encode pass serves both readouts (scripts/graph_readout_ab.py
+    # for the full variant sweep): "gcc" = the reference's score
+    # protocol; "gcc-composite" = generate's readout="composite".
+    ro = generate_graph_readouts(cfg, state, graphs, n_max=args.n_max,
+                                 e_max=args.e_max)
+    emb = ro["score"]
+    comp = composite_graph_readout(ro)
     dh = degree_histogram_embeddings(graphs)
-    print("gcc        ", evaluate_graph_embeddings(emb, y), flush=True)
-    print("degree-hist", evaluate_graph_embeddings(dh, y), flush=True)
+    print("gcc (score)   ", evaluate_graph_embeddings(emb, y), flush=True)
+    print("gcc-composite ", evaluate_graph_embeddings(comp, y), flush=True)
+    print("degree-hist   ", evaluate_graph_embeddings(dh, y), flush=True)
     # Complementarity probe: does the GCC embedding carry structure the
     # degree histogram lacks (concat beats both), or is it subsumed?
-    print("gcc+dh     ", evaluate_graph_embeddings(
+    print("gcc+dh        ", evaluate_graph_embeddings(
         np.concatenate([emb, dh], axis=1), y), flush=True)
+    print("composite+dh  ", evaluate_graph_embeddings(
+        np.concatenate([comp, dh], axis=1), y), flush=True)
     counts = np.bincount(y)
     print(f"majority    {{'Micro-F1': {counts.max() / counts.sum():.4f}}}",
           flush=True)

@@ -68,8 +68,10 @@ def assemble_variants(ro: dict) -> dict[str, np.ndarray]:
     # degree-embedding row + PE sums — 0.8194 alone) carry the degree
     # law; per-layer L2'd conv sums (0.7694) carry the learned
     # structure with magnitudes equalized so neither block drowns.
-    v["inmean+convl2"] = np.concatenate(
-        [pooled[0] / n] + [_l2(p) for p in conv], axis=1)
+    from gcc_tpu.generate import composite_graph_readout
+
+    v["inmean+convl2"] = composite_graph_readout(ro)  # == the library's
+    #           readout="composite" door (single definition, no drift)
     v["inmean+convmean"] = np.concatenate([p / n for p in pooled], axis=1)
     v["insum+inmean+convl2"] = np.concatenate(
         [pooled[0], pooled[0] / n] + [_l2(p) for p in conv], axis=1)
@@ -89,29 +91,35 @@ def main():
                     help="npz cache of the chip encode pass; when present "
                          "the whole sweep runs host-only (variant "
                          "iteration never re-touches the chip)")
+    ap.add_argument("--full", action="store_true",
+                    help="full variant grid (default: the headline set "
+                         "— score/composite/layercat/in_pooled_mean)")
     args = ap.parse_args()
     ckpts = sorted(glob.glob(args.ckpt))
     if not ckpts:
         sys.exit(f"no checkpoint matches {args.ckpt}")
-    ckpt = ckpts[0]
 
     from graph_benchmark import build_graph_benchmark, degree_histogram_embeddings
 
     from gcc_tpu.tasks.graph_classification import evaluate_graph_embeddings
 
     graphs, y = build_graph_benchmark(args.graphs_per_class)
-    print(f"benchmark: {len(graphs)} graphs, 6 classes", flush=True)
+    print(f"benchmark: {len(graphs)} graphs, 6 classes, "
+          f"{len(ckpts)} ckpt(s)", flush=True)
+    dh = degree_histogram_embeddings(graphs)
+    counts = np.bincount(y)
 
-    if args.cache and os.path.exists(args.cache):
-        z = np.load(args.cache)
-        if z["ckpt"] != ckpt:
-            sys.exit(f"cache {args.cache} is for {z['ckpt']}, not {ckpt} "
-                     f"— delete it to re-encode")
-        ro = {"score": z["score"],
-              "pooled": [z[f"pooled{i}"] for i in range(int(z["n_pooled"]))],
-              "n_nodes": z["n_nodes"]}
-        print(f"loaded cached readouts from {args.cache}", flush=True)
-    else:
+    def get_readouts(ckpt):
+        if len(ckpts) == 1 and args.cache and os.path.exists(args.cache):
+            z = np.load(args.cache)
+            if z["ckpt"] != ckpt:
+                sys.exit(f"cache {args.cache} is for {z['ckpt']}, not "
+                         f"{ckpt} — delete it to re-encode")
+            print(f"loaded cached readouts from {args.cache}", flush=True)
+            return {"score": z["score"],
+                    "pooled": [z[f"pooled{i}"]
+                               for i in range(int(z["n_pooled"]))],
+                    "n_nodes": z["n_nodes"]}
         from types import SimpleNamespace
 
         from gcc_tpu.cli import _enable_compilation_cache
@@ -121,40 +129,50 @@ def main():
         _enable_compilation_cache()
         cfg = load_config(os.path.dirname(ckpt))
         state = SimpleNamespace(**load_checkpoint(ckpt))
+        # Weights enter the cached jit as arguments — N checkpoints at
+        # one config share ONE compiled encode program.
         ro = generate_graph_readouts(cfg, state, graphs, n_max=args.n_max,
                                      e_max=args.e_max)
-        if args.cache:
+        if len(ckpts) == 1 and args.cache:
             np.savez(args.cache, ckpt=ckpt, score=ro["score"],
                      n_nodes=ro["n_nodes"], n_pooled=len(ro["pooled"]),
                      **{f"pooled{i}": p for i, p in enumerate(ro["pooled"])})
             print(f"cached readouts to {args.cache}", flush=True)
-    dh = degree_histogram_embeddings(graphs)
+        return ro
 
-    rows = {}
+    HEADLINE = ("score", "inmean+convl2", "layercat", "in_pooled_mean")
+    all_out = []
+    for ckpt in ckpts:
+        print(f"\n=== {ckpt}", flush=True)
+        ro = get_readouts(ckpt)
+        rows = {}
 
-    def ev(name, emb, std):
-        key = f"{name}{'/std' if std else ''}"
-        rows[key] = evaluate_graph_embeddings(emb, y, standardize=std)[
-            "Micro-F1"]
-        print(f"{key:24s} {rows[key]:.4f}", flush=True)
+        def ev(name, emb, std, rows=None):
+            key = f"{name}{'/std' if std else ''}"
+            rows[key] = evaluate_graph_embeddings(emb, y, standardize=std)[
+                "Micro-F1"]
+            print(f"{key:24s} {rows[key]:.4f}", flush=True)
 
-    ev("degree-hist", dh, False)
-    ev("degree-hist", dh, True)
-    variants = assemble_variants(ro)
-    for name, emb in variants.items():
-        for std in (False, True):
-            ev(name, emb, std)
-    # Complementarity probe for the best GCC-alone variant.
-    best = max((k for k in rows if not k.startswith("degree-hist")),
-               key=lambda k: rows[k])
-    bname = best.split("/")[0]
-    ev(f"{bname}+dh", np.concatenate([variants[bname], dh], axis=1),
-       best.endswith("/std"))
-    counts = np.bincount(y)
-    rows["majority"] = float(counts.max() / counts.sum())
-    print(f"best GCC-alone: {best} = {rows[best]:.4f}", flush=True)
+        ev("degree-hist", dh, False, rows=rows)
+        if args.full:
+            ev("degree-hist", dh, True, rows=rows)
+        variants = assemble_variants(ro)
+        if not args.full:
+            variants = {k: v for k, v in variants.items() if k in HEADLINE}
+        for name, emb in variants.items():
+            for std in ((False, True) if args.full else (False,)):
+                ev(name, emb, std, rows=rows)
+        # Complementarity probe for the best GCC-alone variant.
+        best = max((k for k in rows if not k.startswith("degree-hist")),
+                   key=lambda k: rows[k])
+        bname = best.split("/")[0]
+        ev(f"{bname}+dh", np.concatenate([variants[bname], dh], axis=1),
+           best.endswith("/std"), rows=rows)
+        rows["majority"] = float(counts.max() / counts.sum())
+        print(f"best GCC-alone: {best} = {rows[best]:.4f}", flush=True)
+        all_out.append({"ckpt": ckpt, "results": rows, "best": best})
     with open(args.out, "w") as f:
-        json.dump({"ckpt": ckpt, "results": rows, "best": best}, f, indent=1)
+        json.dump(all_out if len(all_out) > 1 else all_out[0], f, indent=1)
     print(f"wrote {args.out}", flush=True)
 
 

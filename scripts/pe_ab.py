@@ -33,7 +33,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # random batch composition (emit="stacked") instead of size routing —
 # the routed-vs-stacked downstream comparison (VERDICT r3 item 1) runs
 # it against the subspace-g0 arms on the same seeds.
-ARMS = ("subspace", "eigh", "subspace-g0", "subspace-g0-stacked")
+# subspace-g0-div: guardless PE on the family-DIVERSE corpus
+# (graph/corpus.synthetic_corpus_diverse) — the corpus-diversity arm of
+# the graph-transfer attribution (VERDICT r4 item 1). Same seeds pair
+# against subspace-g0 (identical config, corpus is the only change).
+# subspace-g0-bf16: guardless PE with the round-5 bytes levers on
+# (GCC_TPU_ADJ_DTYPE=bf16 + GCC_TPU_JACOBI_V_DTYPE=bf16) — the
+# downstream gate for docs/PERF.md levers 2-3.
+ARMS = ("subspace", "eigh", "subspace-g0", "subspace-g0-stacked",
+        "subspace-g0-div", "subspace-g0-bf16")
+DIVERSE_CORPUS = "/tmp/gcc_tpu_corpus_diverse"
 
 
 def child(args):
@@ -123,6 +132,10 @@ def child(args):
     from gcc_tpu.training.checkpoint import load_checkpoint, load_config
 
     os.environ.pop("GCC_TPU_PE_GUARDS", None)
+    # The bytes levers are TRAINING-arm knobs; eval featurization is
+    # pinned to the common f32/eigh program for every arm.
+    os.environ.pop("GCC_TPU_ADJ_DTYPE", None)
+    os.environ.pop("GCC_TPU_JACOBI_V_DTYPE", None)
     if args.bench == "v2":
         # Sub-ceiling 9-class benchmark (VERDICT r3 item 1): arm deltas
         # are measured where the eval has headroom, not at 0.98-1.0.
@@ -190,6 +203,16 @@ def main():
             # the library default changes (the retune this run informs).
             env["GCC_TPU_PE_GUARDS"] = ("0" if arm.startswith("subspace-g0")
                                         else "16")
+            if arm.endswith("-div"):
+                from gcc_tpu.graph.corpus import synthetic_corpus_diverse
+
+                if not os.path.exists(os.path.join(DIVERSE_CORPUS,
+                                                   "manifest.json")):
+                    synthetic_corpus_diverse(DIVERSE_CORPUS, seed=0)
+                env["GCC_TPU_BENCH_CORPUS"] = DIVERSE_CORPUS
+            if arm.endswith("-bf16"):
+                env["GCC_TPU_ADJ_DTYPE"] = "bf16"
+                env["GCC_TPU_JACOBI_V_DTYPE"] = "bf16"
             cmd = [sys.executable, os.path.abspath(__file__), "--child",
                    "--method", arm, "--seed", str(seed), "--out", out,
                    "--epochs", str(args.epochs), "--bench", args.bench,

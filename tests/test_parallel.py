@@ -814,3 +814,56 @@ def test_giant_embedding_program_cache_reuse():
     assert gf._giant_pe_fn.cache_info().hits >= 1, \
         gf._giant_pe_fn.cache_info()
     assert gf._giant_enc_fn.cache_info().hits >= 1
+
+
+def test_generate_graph_embeddings_composite_readout(tmp_path):
+    """readout='composite' returns the inmean+convl2 composition with
+    the documented block structure (generate.composite_graph_readout)
+    and refuses giant graphs (no per-layer pooled outputs there)."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from gcc_tpu.config import TrainConfig
+    from gcc_tpu.features import featurize_batch
+    from gcc_tpu.generate import generate_graph_embeddings
+    from gcc_tpu.graph.batch import Subgraph, batch_subgraphs
+    from gcc_tpu.graph.csr import CSRGraph
+    from gcc_tpu.models import GraphEncoder
+
+    cfg = TrainConfig()
+    enc = GraphEncoder(cfg.encoder)
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 24, 96).astype(np.int32)
+    d = rng.integers(0, 24, 96).astype(np.int32)
+    toy = batch_subgraphs([Subgraph(src=s, dst=d, num_nodes=24)],
+                          n_max=32, e_max=256)
+    feats = jax.jit(
+        lambda b: featurize_batch(b, cfg.encoder.positional_embedding_size)
+    )(toy)
+    variables = enc.init(jax.random.PRNGKey(0), feats, train=False)
+    state = SimpleNamespace(params=variables["params"],
+                            batch_stats=variables["batch_stats"])
+
+    graphs = []
+    for n, davg in ((60, 6), (50, 4)):
+        src, dst = _random_symmetric_graph(n, davg, seed=n)
+        graphs.append(CSRGraph.from_edges(src, dst, num_nodes=n,
+                                          symmetrize=True))
+    emb = generate_graph_embeddings(cfg, state, graphs, n_max=128,
+                                    e_max=1024, readout="composite")
+    e = cfg.encoder
+    in_dim = e.positional_embedding_size + e.degree_embedding_size + 1
+    want = in_dim + (e.num_layers - 1) * e.hidden_size
+    assert emb.shape == (2, want)
+    assert np.isfinite(emb).all()
+    # conv blocks are L2-normalized per layer; input block is mean-pooled
+    conv0 = emb[:, in_dim : in_dim + e.hidden_size]
+    np.testing.assert_allclose(np.linalg.norm(conv0, axis=1), 1.0,
+                               atol=1e-4)
+    big_src, big_dst = _random_symmetric_graph(600, 6, seed=7)
+    giant = CSRGraph.from_edges(big_src, big_dst, num_nodes=600,
+                                symmetrize=True)
+    with pytest.raises(NotImplementedError):
+        generate_graph_embeddings(cfg, state, graphs + [giant], n_max=128,
+                                  e_max=1024, readout="composite")
