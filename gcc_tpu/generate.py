@@ -138,6 +138,23 @@ def generate_graph_readouts(
        "n_nodes": (G,)}
 
     GIN-only (the alternates expose no per-layer pooled outputs)."""
+    return generate_subgraph_readouts(
+        cfg, state, [entire_graph_subgraph(g) for g in graphs],
+        n_max=n_max, e_max=e_max, batch_size=batch_size)
+
+
+def generate_subgraph_readouts(
+    cfg: TrainConfig,
+    state,
+    subs: list[Subgraph],
+    n_max: int = 256,
+    e_max: int = 2048,
+    batch_size: int = 64,
+) -> dict:
+    """Readout-ingredient capture for arbitrary subgraph views (the
+    node-level counterpart of :func:`generate_graph_readouts`: each
+    subgraph is one RWR view of a seed node, and its pooled layers are
+    a NEIGHBORHOOD fingerprint richer than the 64-d score)."""
     max_b = max(1, (1 << 30) // max(1, n_max * n_max * 4))
     batch_size = min(batch_size, max_b)
     # Module-level cached jit (the _giant_pe_fn pattern): weights are
@@ -145,7 +162,6 @@ def generate_graph_readouts(
     # compiled program (a per-call closure would recompile each time —
     # ~20 s each through the remote-compile relay).
     encode = _readout_encode_fn(cfg.encoder)
-    subs = [entire_graph_subgraph(g) for g in graphs]
     weights = jax.device_put((state.params, state.batch_stats))
     scores, pooled_chunks = [], []
     for i in range(0, len(subs), batch_size):
@@ -162,7 +178,8 @@ def generate_graph_readouts(
         "score": np.concatenate(scores, axis=0),
         "pooled": [np.concatenate(layer, axis=0)
                    for layer in zip(*pooled_chunks)],
-        "n_nodes": np.array([g.num_nodes for g in graphs], np.float32),
+        "n_nodes": np.array([min(s.num_nodes, n_max) for s in subs],
+                            np.float32),
     }
 
 

@@ -115,6 +115,57 @@ def synthetic_corpus(
     return CorpusStore.create(path, graphs)
 
 
+REFERENCE_SCALE_SHAPES = (
+    # (name, num_nodes, avg_degree) mirroring the reference pretraining
+    # corpus's published graph scales (x2dgl.py:88-97: two DBLP
+    # co-author graphs, IMDB, Academia, LiveJournal, Facebook; the
+    # LiveJournal LSCC is ~4.8M nodes / ~43M undirected edges).
+    ("dblp-netrep", 540_000, 30),
+    ("dblp-snap", 317_000, 7),
+    ("imdb-netrep", 896_000, 9),
+    ("academia", 200_000, 14),
+    ("livejournal", 4_847_000, 17),
+    ("facebook", 3_000_000, 16),
+)
+
+
+def synthetic_corpus_reference_scale(path: str, seed: int = 0) -> CorpusStore:
+    """Synthetic corpus at the REFERENCE's corpus shape (VERDICT r4
+    item 3 / missing #2).
+
+    The small bench corpus (6 × ~100k nodes) fits the host LLC, which is
+    the assumption behind every measured sampler number ("CSR fits in
+    LLC — walks are not miss-bound"). The reference pretrains on
+    LiveJournal-class graphs whose CSR is hundreds of MB — every visit
+    probe is a likely cache miss. This builds heavy-tailed graphs (all
+    six reference graphs are social/collaboration networks) at the
+    reference's node/edge scales so walk/extract can be measured in the
+    miss-bound regime (scripts/refscale_bench.py). ~150M edges, ~700 MB
+    on disk; generation is vectorized numpy, one graph in memory at a
+    time."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(path, exist_ok=True)
+    entries = []
+    for i, (name, n, deg) in enumerate(REFERENCE_SCALE_SHAPES):
+        m = n * deg // 2
+        src = (n * rng.random(m) ** 2.0).astype(np.int64)
+        dst = rng.integers(0, n, m)
+        keep = src != dst
+        g = CSRGraph.from_edges(src[keep], dst[keep], num_nodes=n,
+                                symmetrize=True)
+        np.save(os.path.join(path, f"g{i}.indptr.npy"),
+                np.asarray(g.indptr, np.int64))
+        np.save(os.path.join(path, f"g{i}.indices.npy"),
+                np.asarray(g.indices, np.int32))
+        entries.append({"name": name, "num_nodes": int(g.num_nodes),
+                        "num_edges": int(g.num_edges)})
+        del g, src, dst, keep
+    manifest = {"version": 1, "graphs": entries}
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return CorpusStore(path, manifest)
+
+
 def synthetic_corpus_diverse(
     path: str,
     nodes_per_graph: int = 100_000,

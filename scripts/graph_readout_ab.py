@@ -82,7 +82,9 @@ def assemble_variants(ro: dict) -> dict[str, np.ndarray]:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", required=True, nargs="+",
+                    help="checkpoint glob(s); several checkpoints at one "
+                         "encoder config share one compiled encode program")
     ap.add_argument("--graphs-per-class", type=int, default=60)
     ap.add_argument("--n-max", type=int, default=256)
     ap.add_argument("--e-max", type=int, default=8192)
@@ -95,7 +97,7 @@ def main():
                     help="full variant grid (default: the headline set "
                          "— score/composite/layercat/in_pooled_mean)")
     args = ap.parse_args()
-    ckpts = sorted(glob.glob(args.ckpt))
+    ckpts = sorted(set(sum((glob.glob(p) for p in args.ckpt), [])))
     if not ckpts:
         sys.exit(f"no checkpoint matches {args.ckpt}")
 

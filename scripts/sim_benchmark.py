@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Sub-ceiling similarity-search benchmark (VERDICT r4 item 6).
+
+The CLI flow validated the plumbing on identical graph pairs (recall
+1.0 by construction); this instrument is built to discriminate. The
+reference task (gcc/tasks/similarity_search.py:41-69) matches the same
+authors across two co-author graphs — structurally: re-identify nodes
+across two graphs whose local structure is correlated but not equal.
+The synthetic analog: ONE base graph with distinctive local
+neighborhoods (heavy-tailed degrees), TWO independently perturbed views
+(each rewires a fraction of edge endpoints), node ids of view 2
+shuffled; ground truth = the hidden correspondence; scoring = the
+reference's exact evaluate_similarity (L2-normalize, dot-product
+ranking, Recall@{20,40}).
+
+Difficulty knob: --rewire (both views perturbed independently, so an
+edge survives in both with prob (1-p)^2). Calibrated at the default so
+GCC lands in the 0.6-0.85 band with baselines separated (see
+docs/PERF.md "similarity benchmark" for the table).
+
+Baselines:
+  degree-feat  5-d handcrafted local-structure features (log degree,
+               neighbor-degree stats, 2-hop size) — the trivial floor
+               that survives id shuffling.
+  graphwave    structural heat-wavelet embedding (alignable across
+               graphs by construction).
+  prone        transductive factorization — axes are NOT aligned across
+               independent runs; expected near chance (the instrument
+               must show this separation).
+  chance       k / n.
+
+Usage:
+  python scripts/sim_benchmark.py --ckpt <ckpt> [--cpu] [--rewire 0.2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _base_edges(rng, n, m):
+    """Heavy-tailed base graph (same family as the bench corpus): node
+    identities get distinctive degrees/neighborhoods."""
+    src = (n * rng.random(m) ** 2.0).astype(np.int64)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def _perturb(rng, src, dst, n, p):
+    """Rewire one endpoint of a fraction p of edges (independent noise
+    per view)."""
+    src, dst = src.copy(), dst.copy()
+    hit = rng.random(src.shape[0]) < p
+    new_dst = rng.integers(0, n, hit.sum())
+    dst[hit] = new_dst
+    keep = src != dst
+    return src[keep], dst[keep]
+
+
+def build_sim_pair(n=2000, avg_degree=8, rewire=0.2, seed=0):
+    """(g1, g2, dict_1, dict_2): two independently perturbed views of
+    one base graph; dict_i maps shared-name -> node index (view 2 is
+    id-shuffled so embeddings cannot cheat off index order)."""
+    from gcc_tpu.graph.csr import CSRGraph
+
+    rng = np.random.default_rng(seed)
+    m = n * avg_degree // 2
+    src, dst = _base_edges(rng, n, m)
+    s1, d1 = _perturb(rng, src, dst, n, rewire)
+    s2, d2 = _perturb(rng, src, dst, n, rewire)
+    perm = rng.permutation(n)
+    g1 = CSRGraph.from_edges(s1, d1, num_nodes=n, symmetrize=True)
+    g2 = CSRGraph.from_edges(perm[s2], perm[d2], num_nodes=n,
+                             symmetrize=True)
+    dict_1 = {i: i for i in range(n)}
+    dict_2 = {i: int(perm[i]) for i in range(n)}
+    return g1, g2, dict_1, dict_2
+
+
+def degree_feature_embeddings(g) -> np.ndarray:
+    """5-d handcrafted structural features (id-shuffle invariant)."""
+    deg = np.diff(g.indptr).astype(np.float64)
+    row = np.repeat(np.arange(g.num_nodes), np.diff(g.indptr))
+    nbr_deg = deg[g.indices]
+    nbr_deg_sum = np.bincount(row, weights=nbr_deg, minlength=g.num_nodes)
+    mean_nbr = nbr_deg_sum / np.maximum(deg, 1)
+    max_nbr = np.zeros_like(deg)
+    np.maximum.at(max_nbr, row, nbr_deg)
+    two_hop = nbr_deg_sum  # Σ neighbor degrees ≈ 2-hop ball size
+    out = np.stack([
+        np.log1p(deg), np.log1p(mean_nbr), np.log1p(max_nbr),
+        np.log1p(two_hop), np.sqrt(deg),
+    ], axis=1)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument("--rewire", type=float, default=0.2)
+    ap.add_argument("--n-max", type=int, default=256)
+    ap.add_argument("--e-max", type=int, default=2048)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (calibration without "
+                         "touching the chip)")
+    ap.add_argument("--out", default="/tmp/gcc_tpu_sim_benchmark.json")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=1").strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import glob
+    from types import SimpleNamespace
+
+    from gcc_tpu.cli import _enable_compilation_cache
+    from gcc_tpu.generate import (composite_graph_readout,
+                                  generate_embeddings,
+                                  generate_subgraph_readouts,
+                                  node_subgraphs)
+    from gcc_tpu.models.emb import build_model
+    from gcc_tpu.tasks.similarity_search import evaluate_similarity
+    from gcc_tpu.training.checkpoint import load_checkpoint, load_config
+
+    _enable_compilation_cache()
+    ckpts = sorted(glob.glob(args.ckpt))
+    if not ckpts:
+        sys.exit(f"no checkpoint matches {args.ckpt}")
+    ckpt = ckpts[0]
+    g1, g2, d1, d2 = build_sim_pair(args.n, rewire=args.rewire)
+    print(f"sim pair: {g1.num_nodes}/{g2.num_nodes} nodes, "
+          f"{g1.num_edges}/{g2.num_edges} edges, rewire={args.rewire}",
+          flush=True)
+
+    cfg = load_config(os.path.dirname(ckpt))
+    state = SimpleNamespace(**load_checkpoint(ckpt))
+    embs, embs_comp = [], []
+    for g in (g1, g2):
+        subs_q, subs_k = node_subgraphs(g, cfg, args.n_max, args.e_max,
+                                        two_views=True)
+        embs.append(generate_embeddings(cfg, state, subs_q,
+                                        n_max=args.n_max, e_max=args.e_max,
+                                        subgraphs_k=subs_k))
+        # Node-level composite readout: the RWR subgraph's pooled layers
+        # are a neighborhood fingerprint richer than the 64-d score
+        # (same composition as the graph-level readout="composite";
+        # averaged over the two views like the reference's (q+k)/2).
+        ro_q = generate_subgraph_readouts(cfg, state, subs_q,
+                                          n_max=args.n_max,
+                                          e_max=args.e_max)
+        ro_k = generate_subgraph_readouts(cfg, state, subs_k,
+                                          n_max=args.n_max,
+                                          e_max=args.e_max)
+        embs_comp.append((composite_graph_readout(ro_q)
+                          + composite_graph_readout(ro_k)) / 2.0)
+    results = {"gcc": evaluate_similarity(embs[0], embs[1], d1, d2)}
+    results["gcc-composite"] = evaluate_similarity(
+        embs_comp[0], embs_comp[1], d1, d2)
+    results["degree-feat"] = evaluate_similarity(
+        degree_feature_embeddings(g1), degree_feature_embeddings(g2), d1, d2)
+    for name in ("graphwave", "prone"):
+        try:
+            model = build_model(name, 64)
+            results[name] = evaluate_similarity(model.train(g1),
+                                                model.train(g2), d1, d2)
+        except Exception as e:  # baselines must not sink the instrument
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+    results["chance"] = {f"Recall @ {k}": k / args.n for k in (20, 40)}
+    for name, res in results.items():
+        print(f"{name:12s} {res}", flush=True)
+    with open(args.out, "w") as f:
+        json.dump({"ckpt": ckpt, "rewire": args.rewire, "n": args.n,
+                   "results": results}, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
