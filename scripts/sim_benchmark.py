@@ -105,8 +105,11 @@ def degree_feature_embeddings(g) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--n", type=int, default=2000)
-    ap.add_argument("--rewire", type=float, default=0.2)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--rewire", type=float, default=0.05,
+                    help="calibrated default: GCC R@20 ~0.22-0.24 "
+                         "(chance 0.02) with the baselines separated — "
+                         "see docs/PERF.md 'similarity benchmark'")
     ap.add_argument("--n-max", type=int, default=256)
     ap.add_argument("--e-max", type=int, default=2048)
     ap.add_argument("--cpu", action="store_true",
@@ -176,6 +179,16 @@ def main():
                                                 model.train(g2), d1, d2)
         except Exception as e:  # baselines must not sink the instrument
             results[name] = {"error": f"{type(e).__name__}: {e}"}
+    # Complementarity probe (mirrors the graph benchmark's gcc+dh row).
+    df1, df2 = degree_feature_embeddings(g1), degree_feature_embeddings(g2)
+
+    def _unit(x):
+        m = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.where(m == 0, 1.0, m)
+
+    results["composite+degfeat"] = evaluate_similarity(
+        np.concatenate([_unit(embs_comp[0]), _unit(df1)], axis=1),
+        np.concatenate([_unit(embs_comp[1]), _unit(df2)], axis=1), d1, d2)
     results["chance"] = {f"Recall @ {k}": k / args.n for k in (20, 40)}
     for name, res in results.items():
         print(f"{name:12s} {res}", flush=True)
