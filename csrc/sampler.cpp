@@ -439,6 +439,131 @@ void gcc_sample_wire_pairs(
   if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 
   std::atomic<int64_t> next{0};
+
+  // W-way interleaved walking (GCC_TPU_WALK_ILV=W, off by default).
+  // Each hop is TWO dependent loads (indptr row, then the indices
+  // element) plus a visit-word probe; a single walk is a serial miss
+  // chain. At the LLC-resident bench-corpus scale interleaving LOSES
+  // (measured r2/r3: W visit-word arrays multiply the random-probe
+  // working set past the LLC — docs/PERF.md negatives), which is why
+  // the default stays scalar. At the reference corpus scale
+  // (LiveJournal-class, CSR and visit words are hundreds of MB, every
+  // probe a DRAM miss regardless) round-robin stepping of W
+  // INDEPENDENT walks overlaps W miss chains — classic memory-level
+  // parallelism — and working-set growth costs nothing because
+  // nothing was cache-resident to begin with. Outputs are
+  // bit-identical to the scalar path: every (sample, view) owns its
+  // RNG stream and visit set, so only completion ORDER changes.
+  // (aug="ns" keeps the scalar path.)
+  struct IlvWalk {
+    VisitSet set;
+    Rng rng{0};
+    int64_t task = -1;
+    int64_t seed = 0, budget = 0, visits = 0, cur = 0;
+    bool in_trace = false;
+  };
+  const uint32_t restart_u32_c =
+      restart_prob >= 1.0 ? 0xFFFFFFFFu
+                          : (uint32_t)(restart_prob * 4294967296.0);
+  auto worker_ilv = [&](int W) {
+    std::vector<IlvWalk> slots((size_t)W);
+    for (auto& s : slots) s.set.ensure(num_nodes);
+    std::vector<int32_t> es(e_cap), ed(e_cap);
+    int live = 0;
+    auto assign = [&](IlvWalk& s) -> bool {
+      const int64_t t = next.fetch_add(1);
+      if (t >= 2 * num_seeds) {
+        s.task = -1;
+        return false;
+      }
+      const int64_t i = t >> 1;
+      const bool is_k = t & 1;
+      const int64_t sid = sample_ids ? sample_ids[i] : i;
+      s.rng = Rng(rng_seed ^ (0xD1B54A32D192ED03ULL *
+                              (uint64_t)(2 * sid + (is_k ? 1 : 0))));
+      s.set.reset();
+      s.task = t;
+      s.seed = is_k ? seeds_k[i] : seeds_q[i];
+      s.budget = is_k ? budgets_k[i] : budgets_q[i];
+      s.visits = 0;
+      s.in_trace = false;
+      s.set.insert((int32_t)s.seed);
+      __builtin_prefetch(&g.indptr[s.seed], 0, 1);
+      return true;
+    };
+    auto finish = [&](IlvWalk& s) {
+      const int64_t t1 = now_ns();
+      const int64_t i = s.task >> 1;
+      const bool is_k = s.task & 1;
+      const int64_t n = (int64_t)s.set.nodes.size();
+      const int64_t e_full =
+          induced_edges(g, s.set, es.data(), ed.data(), e_cap);
+      const int64_t t2 = now_ns();
+      const int64_t e = e_full < e_cap ? e_full : e_cap;
+      int16_t* osrc = (is_k ? k_src : q_src) + i * e_cap;
+      int16_t* odst = (is_k ? k_dst : q_dst) + i * e_cap;
+      for (int64_t j = 0; j < e; ++j) {
+        osrc[j] = (int16_t)es[j];
+        odst[j] = (int16_t)ed[j];
+      }
+      (is_k ? k_n : q_n)[i] = (int32_t)n;
+      (is_k ? k_e : q_e)[i] = (int32_t)e;
+      const int64_t t3 = now_ns();
+      g_extract_ns.fetch_add(t2 - t1, std::memory_order_relaxed);
+      g_pack_ns.fetch_add(t3 - t2, std::memory_order_relaxed);
+      g_subgraphs.fetch_add(1, std::memory_order_relaxed);
+    };
+    for (auto& s : slots) {
+      if (assign(s)) ++live;
+    }
+    int64_t t_mark = now_ns();
+    while (live > 0) {
+      for (auto& s : slots) {
+        if (s.task < 0) continue;
+        // One hop, exact rwr_visit semantics (same RNG draw order).
+        bool done = false;
+        if (s.visits >= s.budget ||
+            (int64_t)s.set.nodes.size() >= node_cap) {
+          done = true;
+        } else if (!s.in_trace) {
+          if (g.degree(s.seed) == 0) {
+            done = true;  // isolated seed: singleton subgraph
+          } else {
+            s.cur = s.seed;
+            s.in_trace = true;
+          }
+        }
+        if (!done && s.in_trace) {
+          const int64_t d = g.degree(s.cur);
+          if (d == 0) {
+            s.in_trace = false;  // dead-end trace; restart next step
+          } else {
+            const uint64_t r = s.rng.next();
+            s.cur = g.indices[g.indptr[s.cur] +
+                              (int64_t)(((r >> 32) * (uint64_t)d) >> 32)];
+            s.set.insert((int32_t)s.cur);
+            ++s.visits;
+            // Next step's first dependent load for this walk.
+            __builtin_prefetch(&g.indptr[s.cur], 0, 1);
+            if (s.visits >= s.budget ||
+                (int64_t)s.set.nodes.size() >= node_cap) {
+              done = true;
+            } else if ((uint32_t)r < restart_u32_c) {
+              s.in_trace = false;
+            }
+          }
+        }
+        if (done) {
+          g_walk_ns.fetch_add(now_ns() - t_mark,
+                              std::memory_order_relaxed);
+          finish(s);
+          if (!assign(s)) --live;
+          t_mark = now_ns();
+        }
+      }
+    }
+  };
+
   auto worker = [&]() {
     VisitSet set;
     set.ensure(num_nodes);
@@ -482,6 +607,21 @@ void gcc_sample_wire_pairs(
     }
   };
 
+  int ilv = 1;
+  if (const char* env_ilv = std::getenv("GCC_TPU_WALK_ILV"))
+    ilv = std::atoi(env_ilv);
+  if (ilv > 1 && aug == 0) {
+    if (n_threads == 1) {
+      worker_ilv(ilv);
+    } else {
+      std::vector<std::thread> threads;
+      threads.reserve(n_threads);
+      for (int t = 0; t < n_threads; ++t)
+        threads.emplace_back([&, ilv]() { worker_ilv(ilv); });
+      for (auto& th : threads) th.join();
+    }
+    return;
+  }
   if (n_threads == 1) {
     worker();
   } else {

@@ -268,3 +268,37 @@ print(hashlib.sha256(b"".join(acc)).hexdigest())
     if "SKIP" in outs:
         pytest.skip("native sampler unavailable")
     assert outs[0] == outs[1], "AVX-512 and scalar extraction diverge"
+
+
+def test_interleaved_walker_bit_identical(monkeypatch):
+    """GCC_TPU_WALK_ILV=W (the miss-bound-regime walker, csrc
+    worker_ilv) must produce bit-identical wire pairs to the scalar
+    path: each (sample, view) owns its RNG stream and visit set, so
+    interleaving may only change completion order."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("native sampler required")
+    rng = np.random.default_rng(3)
+    n, m = 20000, 120000
+    src = (n * rng.random(m) ** 2).astype(np.int64)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    g = CSRGraph.from_edges(src[keep], dst[keep], num_nodes=n,
+                            symmetrize=True)
+    seeds = rng.integers(0, n, 64)
+    bud = np.full(64, 128, np.int64)
+
+    def run():
+        return native.sample_wire_pairs(
+            g, seeds, seeds, bud, bud, restart_prob=0.8, aug="rwr",
+            expand=5, hops=2, rng_seed=7,
+            sample_ids=np.arange(64, dtype=np.int64),
+            node_cap=256, e_cap=1024, n_threads=1)
+
+    monkeypatch.delenv("GCC_TPU_WALK_ILV", raising=False)
+    base = run()
+    monkeypatch.setenv("GCC_TPU_WALK_ILV", "8")
+    ilv = run()
+    for a, b in zip(base, ilv):
+        np.testing.assert_array_equal(a, b)
