@@ -28,6 +28,8 @@
 
 #include <atomic>
 #include <chrono>
+#include <memory>
+#include <mutex>
 #if defined(__x86_64__)
 #include <immintrin.h>
 #endif
@@ -130,6 +132,37 @@ struct VisitSet {
   inline bool contains(int32_t u) const { return (word[u] >> 16) == epoch; }
   inline int32_t id(int32_t u) const { return (int32_t)(word[u] & 0xFFFFu); }
 };
+
+// Process-lifetime pool of VisitSets. The word array is O(num_nodes)
+// (19 MB at the reference corpus scale); allocating it per native call
+// pays page-fault + zeroing costs that measured ~0.2 ms per batch-pair
+// at reference scale (docs/PERF.md round-5 refscale table — the
+// unaccounted gap between the phase counters and wall). Pooled sets
+// keep their pages mapped and their epoch counters across calls, so
+// reuse is free; the epoch invariant survives pooling (stale stamps
+// always carry epochs below the set's own post-reset epoch).
+struct SetPool {
+  std::mutex mu;
+  std::vector<std::unique_ptr<VisitSet>> free_sets;
+  std::unique_ptr<VisitSet> get(int64_t n) {
+    std::unique_ptr<VisitSet> s;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (!free_sets.empty()) {
+        s = std::move(free_sets.back());
+        free_sets.pop_back();
+      }
+    }
+    if (!s) s.reset(new VisitSet());
+    s->ensure(n);
+    return s;
+  }
+  void put(std::unique_ptr<VisitSet> s) {
+    std::lock_guard<std::mutex> lk(mu);
+    free_sets.push_back(std::move(s));
+  }
+};
+SetPool g_set_pool;
 
 // Accumulate an RWR trace's visited set (budget = visit threshold).
 void rwr_visit(const Csr& g, int64_t seed, double restart_prob, int64_t budget,
@@ -362,8 +395,8 @@ void gcc_sample_subgraphs(
 
   std::atomic<int64_t> next_seed{0};
   auto worker = [&]() {
-    VisitSet set;
-    set.ensure(num_nodes);
+    auto set_p = g_set_pool.get(num_nodes);
+    VisitSet& set = *set_p;
     while (true) {
       const int64_t i = next_seed.fetch_add(1);
       if (i >= num_seeds) break;
@@ -385,6 +418,7 @@ void gcc_sample_subgraphs(
       out_e[i] = (int32_t)(e_full < e_cap ? e_full : e_cap);
       out_e_full[i] = e_full;
     }
+    g_set_pool.put(std::move(set_p));
   };
 
   if (n_threads == 1) {
@@ -456,7 +490,7 @@ void gcc_sample_wire_pairs(
   // RNG stream and visit set, so only completion ORDER changes.
   // (aug="ns" keeps the scalar path.)
   struct IlvWalk {
-    VisitSet set;
+    std::unique_ptr<VisitSet> set_p;  // pooled (see SetPool)
     Rng rng{0};
     int64_t task = -1;
     int64_t seed = 0, budget = 0, visits = 0, cur = 0;
@@ -467,7 +501,7 @@ void gcc_sample_wire_pairs(
                           : (uint32_t)(restart_prob * 4294967296.0);
   auto worker_ilv = [&](int W) {
     std::vector<IlvWalk> slots((size_t)W);
-    for (auto& s : slots) s.set.ensure(num_nodes);
+    for (auto& s : slots) s.set_p = g_set_pool.get(num_nodes);
     std::vector<int32_t> es(e_cap), ed(e_cap);
     int live = 0;
     auto assign = [&](IlvWalk& s) -> bool {
@@ -481,13 +515,13 @@ void gcc_sample_wire_pairs(
       const int64_t sid = sample_ids ? sample_ids[i] : i;
       s.rng = Rng(rng_seed ^ (0xD1B54A32D192ED03ULL *
                               (uint64_t)(2 * sid + (is_k ? 1 : 0))));
-      s.set.reset();
+      s.set_p->reset();
       s.task = t;
       s.seed = is_k ? seeds_k[i] : seeds_q[i];
       s.budget = is_k ? budgets_k[i] : budgets_q[i];
       s.visits = 0;
       s.in_trace = false;
-      s.set.insert((int32_t)s.seed);
+      s.set_p->insert((int32_t)s.seed);
       __builtin_prefetch(&g.indptr[s.seed], 0, 1);
       return true;
     };
@@ -495,9 +529,9 @@ void gcc_sample_wire_pairs(
       const int64_t t1 = now_ns();
       const int64_t i = s.task >> 1;
       const bool is_k = s.task & 1;
-      const int64_t n = (int64_t)s.set.nodes.size();
+      const int64_t n = (int64_t)s.set_p->nodes.size();
       const int64_t e_full =
-          induced_edges(g, s.set, es.data(), ed.data(), e_cap);
+          induced_edges(g, *s.set_p, es.data(), ed.data(), e_cap);
       const int64_t t2 = now_ns();
       const int64_t e = e_full < e_cap ? e_full : e_cap;
       int16_t* osrc = (is_k ? k_src : q_src) + i * e_cap;
@@ -523,7 +557,7 @@ void gcc_sample_wire_pairs(
         // One hop, exact rwr_visit semantics (same RNG draw order).
         bool done = false;
         if (s.visits >= s.budget ||
-            (int64_t)s.set.nodes.size() >= node_cap) {
+            (int64_t)s.set_p->nodes.size() >= node_cap) {
           done = true;
         } else if (!s.in_trace) {
           if (g.degree(s.seed) == 0) {
@@ -541,12 +575,12 @@ void gcc_sample_wire_pairs(
             const uint64_t r = s.rng.next();
             s.cur = g.indices[g.indptr[s.cur] +
                               (int64_t)(((r >> 32) * (uint64_t)d) >> 32)];
-            s.set.insert((int32_t)s.cur);
+            s.set_p->insert((int32_t)s.cur);
             ++s.visits;
             // Next step's first dependent load for this walk.
             __builtin_prefetch(&g.indptr[s.cur], 0, 1);
             if (s.visits >= s.budget ||
-                (int64_t)s.set.nodes.size() >= node_cap) {
+                (int64_t)s.set_p->nodes.size() >= node_cap) {
               done = true;
             } else if ((uint32_t)r < restart_u32_c) {
               s.in_trace = false;
@@ -562,11 +596,12 @@ void gcc_sample_wire_pairs(
         }
       }
     }
+    for (auto& s : slots) g_set_pool.put(std::move(s.set_p));
   };
 
   auto worker = [&]() {
-    VisitSet set;
-    set.ensure(num_nodes);
+    auto set_p = g_set_pool.get(num_nodes);
+    VisitSet& set = *set_p;
     std::vector<int32_t> es(e_cap), ed(e_cap);
     while (true) {
       const int64_t t = next.fetch_add(1);
@@ -605,6 +640,7 @@ void gcc_sample_wire_pairs(
       g_pack_ns.fetch_add(t3 - t2, std::memory_order_relaxed);
       g_subgraphs.fetch_add(1, std::memory_order_relaxed);
     }
+    g_set_pool.put(std::move(set_p));
   };
 
   int ilv = 1;
