@@ -26,6 +26,7 @@
 //  * The subgraph node set is the unique visited nodes with the seed first.
 //  * Induced edges keep multi-edges (multiplicity matters for GIN sums).
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <memory>
@@ -82,6 +83,12 @@ struct Csr {
   const int64_t* indptr;
   const int32_t* indices;
   int64_t num_nodes;
+  // Hub-row extraction (see induced_edges): enabled only when the caller
+  // guarantees every CSR row's neighbor ids are ascending (corpus manifest
+  // flag `rows_sorted`, threaded through the entry points' `flags` bit 0)
+  // AND GCC_TPU_HUB_MULT > 0 (read once per entry call; 0 disables).
+  bool rows_sorted = false;
+  int64_t hub_mult = 0;
   inline int64_t degree(int64_t u) const { return indptr[u + 1] - indptr[u]; }
   inline int32_t random_neighbor(int64_t u, Rng& rng) const {
     const int64_t d = degree(u);
@@ -226,6 +233,62 @@ void ns_visit(const Csr& g, int64_t seed, int64_t expand, int64_t hops,
   }
 }
 
+// --- Hub-row extraction ------------------------------------------------------
+//
+// The induced-edge scan costs deg(u) sequential id loads PLUS deg(u)
+// scattered visit-word probes per visited node u. At the reference corpus
+// scale the word array is ~19 MB so every probe is a likely DRAM miss, and
+// deg^0.75-biased seeds put real hubs (deg 10k+) into most visit sets —
+// those rows dominate extraction (docs/PERF.md round-5 refscale table:
+// extract degrades 4.3x, ~5.8k probes/subgraph vs ~1.3k LLC-resident).
+// For a SORTED row the intersection can run the other way: walk the visit
+// set (n <= node_cap, a few hundred) in ascending global-id order and
+// binary-search each id in the remaining row suffix — O(n log d) row
+// probes, ZERO visit-word gathers. The emitted sequence is identical to
+// the scan's by construction (both walk the row left-to-right, i.e. in
+// ascending neighbor-id order on a sorted row, with multi-edge runs kept
+// adjacent) — pinned by the bit-identity test. Per-row decision:
+// deg > hub_mult * n, hub_mult from GCC_TPU_HUB_MULT (0 disables), only
+// when the caller flagged the CSR rows as sorted.
+
+struct HubScratch {
+  std::vector<uint64_t> sorted;  // (global_id << 32) | local_id, ascending
+  bool built = false;
+};
+
+void build_hub_scratch(const VisitSet& set, HubScratch& hs) {
+  const int64_t n = (int64_t)set.nodes.size();
+  hs.sorted.resize((size_t)n);
+  for (int64_t l = 0; l < n; ++l) {
+    hs.sorted[(size_t)l] =
+        ((uint64_t)(uint32_t)set.nodes[(size_t)l] << 32) | (uint64_t)l;
+  }
+  std::sort(hs.sorted.begin(), hs.sorted.end());
+  hs.built = true;
+}
+
+int64_t extract_row_hub(const Csr& g, int32_t lu, const HubScratch& hs,
+                        int64_t row_begin, int64_t row_end, int32_t* out_src,
+                        int32_t* out_dst, int64_t e_cap, int64_t count) {
+  const int32_t* row = g.indices;
+  int64_t pos = row_begin;
+  for (const uint64_t packed : hs.sorted) {
+    if (pos >= row_end) break;
+    const int32_t gid = (int32_t)(packed >> 32);
+    const int32_t lid = (int32_t)(packed & 0xFFFFFFFFull);
+    pos = std::lower_bound(row + pos, row + row_end, gid) - row;
+    while (pos < row_end && row[pos] == gid) {
+      if (count < e_cap) {
+        out_src[count] = lu;
+        out_dst[count] = lid;
+      }
+      ++count;
+      ++pos;
+    }
+  }
+  return count;
+}
+
 // Extract induced edges among the visit set, relabeled to local ids.
 // Returns total edge count (may exceed cap; only cap edges are written).
 int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
@@ -233,6 +296,11 @@ int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
                              int64_t e_cap) {
   int64_t count = 0;
   const int32_t n = (int32_t)set.nodes.size();
+  const int64_t hub_deg = (g.rows_sorted && g.hub_mult > 0 && n > 0)
+                              ? g.hub_mult * (int64_t)n
+                              : INT64_MAX;
+  static thread_local HubScratch hs;
+  hs.built = false;
   for (int32_t lu = 0; lu < n; ++lu) {
     const int32_t u = set.nodes[lu];
     if (lu + 1 < n) {  // overlap the next node's CSR row fetch
@@ -240,6 +308,12 @@ int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
       __builtin_prefetch(&g.indptr[nxt], 0, 1);
     }
     const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
+    if (row_end - row_begin > hub_deg) {
+      if (!hs.built) build_hub_scratch(set, hs);
+      count = extract_row_hub(g, lu, hs, row_begin, row_end, out_src, out_dst,
+                              e_cap, count);
+      continue;
+    }
     // Two passes per row: prefetch the random word[] probes, then test —
     // the membership lookups are the extraction's cache-miss hot spot.
     // Membership + local id ride in ONE uint32 load (VisitSet layout).
@@ -273,6 +347,11 @@ int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
                              int64_t e_cap) {
   int64_t count = 0;
   const int32_t n = (int32_t)set.nodes.size();
+  const int64_t hub_deg = (g.rows_sorted && g.hub_mult > 0 && n > 0)
+                              ? g.hub_mult * (int64_t)n
+                              : INT64_MAX;
+  static thread_local HubScratch hs;
+  hs.built = false;
   const uint32_t* words = set.word.data();
   const __m512i epoch_v = _mm512_set1_epi32((int32_t)set.epoch);
   const __m512i low16 = _mm512_set1_epi32(0xFFFF);
@@ -282,6 +361,12 @@ int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
       __builtin_prefetch(&g.indptr[set.nodes[lu + 1]], 0, 1);
     }
     const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
+    if (row_end - row_begin > hub_deg) {
+      if (!hs.built) build_hub_scratch(set, hs);
+      count = extract_row_hub(g, lu, hs, row_begin, row_end, out_src, out_dst,
+                              e_cap, count);
+      continue;
+    }
     const __m512i lu_v = _mm512_set1_epi32(lu);
     for (int64_t j = row_begin; j < row_end; j += 16) {
       const int64_t c = row_end - j;
@@ -351,6 +436,18 @@ inline int64_t now_ns() {
       .count();
 }
 
+// Hub-extraction threshold multiplier (rows with deg > mult * |visit set|
+// take the binary-search path). Read once per ENTRY call, not latched:
+// one getenv per super-batch is free, and tests toggle it in-process.
+// Default 64 — the measured crossover on the reference-scale corpus
+// (paired A/B, docs/PERF.md round-5): the 16-lane AVX scan keeps
+// winning on medium-degree rows, so only true mega-hub rows
+// (deg > 64 * |set| ~ 16k) pay for the scalar binary search. 0 disables.
+inline int64_t hub_mult_env() {
+  const char* e = std::getenv("GCC_TPU_HUB_MULT");
+  return e ? std::atoll(e) : 64;
+}
+
 }  // namespace
 
 extern "C" {
@@ -388,8 +485,10 @@ void gcc_sample_subgraphs(
     uint64_t rng_seed, const int64_t* sample_ids,  // per-seed stream ids
     int64_t node_cap, int64_t e_cap, int32_t n_threads,
     int32_t* out_nodes, int32_t* out_n, int32_t* out_src, int32_t* out_dst,
-    int32_t* out_e, int64_t* out_e_full) {
-  const Csr g{indptr, indices, num_nodes};
+    int32_t* out_e, int64_t* out_e_full,
+    int32_t flags) {  // bit 0: CSR rows sorted (enables hub extraction)
+  const Csr g{indptr, indices, num_nodes, (flags & 1) != 0,
+              (flags & 1) ? hub_mult_env() : 0};
   if (n_threads < 1) n_threads = 1;
   if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 
@@ -467,8 +566,10 @@ void gcc_sample_wire_pairs(
     uint64_t rng_seed, const int64_t* sample_ids,
     int64_t node_cap, int64_t e_cap, int32_t n_threads,
     int16_t* q_src, int16_t* q_dst, int32_t* q_n, int32_t* q_e,
-    int16_t* k_src, int16_t* k_dst, int32_t* k_n, int32_t* k_e) {
-  const Csr g{indptr, indices, num_nodes};
+    int16_t* k_src, int16_t* k_dst, int32_t* k_n, int32_t* k_e,
+    int32_t flags) {  // bit 0: CSR rows sorted (enables hub extraction)
+  const Csr g{indptr, indices, num_nodes, (flags & 1) != 0,
+              (flags & 1) ? hub_mult_env() : 0};
   if (n_threads < 1) n_threads = 1;
   if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 

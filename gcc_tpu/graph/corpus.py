@@ -51,6 +51,8 @@ class CorpusStore:
                 "num_edges": int(g.num_edges),
             })
         manifest = {"version": 1, "graphs": entries}
+        if graphs and all(g.rows_sorted for g in graphs):
+            manifest["rows_sorted"] = True
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
         return CorpusStore(path, manifest)
@@ -66,7 +68,9 @@ class CorpusStore:
                          mmap_mode=mode)
         indices = np.load(os.path.join(self.path, f"g{i}.indices.npy"),
                           mmap_mode=mode)
-        return CSRGraph(indptr=indptr, indices=indices)
+        return CSRGraph(indptr=indptr, indices=indices,
+                        rows_sorted=bool(self.manifest.get("rows_sorted",
+                                                           False)))
 
 
 def partition_graphs(sizes: Sequence[int], num_workers: int,
@@ -129,7 +133,8 @@ REFERENCE_SCALE_SHAPES = (
 )
 
 
-def synthetic_corpus_reference_scale(path: str, seed: int = 0) -> CorpusStore:
+def synthetic_corpus_reference_scale(path: str, seed: int = 0,
+                                     sort_rows: bool = True) -> CorpusStore:
     """Synthetic corpus at the REFERENCE's corpus shape (VERDICT r4
     item 3 / missing #2).
 
@@ -142,7 +147,14 @@ def synthetic_corpus_reference_scale(path: str, seed: int = 0) -> CorpusStore:
     reference's node/edge scales so walk/extract can be measured in the
     miss-bound regime (scripts/refscale_bench.py). ~150M edges, ~700 MB
     on disk; generation is vectorized numpy, one graph in memory at a
-    time."""
+    time.
+
+    sort_rows (default True) sorts each CSR row's neighbors ascending and
+    records ``rows_sorted`` in the manifest, enabling the native sampler's
+    hub-row binary-search extraction — the measured extraction win at this
+    scale (docs/PERF.md round-5). Walk trajectories differ from an
+    unsorted build (row order feeds neighbor picks) but are
+    distributionally identical."""
     rng = np.random.default_rng(seed)
     os.makedirs(path, exist_ok=True)
     entries = []
@@ -152,7 +164,7 @@ def synthetic_corpus_reference_scale(path: str, seed: int = 0) -> CorpusStore:
         dst = rng.integers(0, n, m)
         keep = src != dst
         g = CSRGraph.from_edges(src[keep], dst[keep], num_nodes=n,
-                                symmetrize=True)
+                                symmetrize=True, sort_rows=sort_rows)
         np.save(os.path.join(path, f"g{i}.indptr.npy"),
                 np.asarray(g.indptr, np.int64))
         np.save(os.path.join(path, f"g{i}.indices.npy"),
@@ -161,6 +173,8 @@ def synthetic_corpus_reference_scale(path: str, seed: int = 0) -> CorpusStore:
                         "num_edges": int(g.num_edges)})
         del g, src, dst, keep
     manifest = {"version": 1, "graphs": entries}
+    if sort_rows:
+        manifest["rows_sorted"] = True
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return CorpusStore(path, manifest)

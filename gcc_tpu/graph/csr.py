@@ -30,10 +30,15 @@ class CSRGraph:
     Attributes:
       indptr: (num_nodes + 1,) int64 — row offsets into ``indices``.
       indices: (num_edges,) int32 — destination node of each out-edge.
+      rows_sorted: True iff every row's neighbor ids are ascending. Set by
+        ``from_edges(sort_rows=True)`` and by the corpus manifest; enables
+        the native sampler's hub-row binary-search extraction (the win is
+        at miss-bound corpus scales — docs/PERF.md round-5 refscale).
     """
 
     indptr: np.ndarray
     indices: np.ndarray
+    rows_sorted: bool = False
 
     def __post_init__(self):
         assert self.indptr.ndim == 1 and self.indices.ndim == 1
@@ -64,6 +69,7 @@ class CSRGraph:
         dst: np.ndarray,
         num_nodes: int | None = None,
         symmetrize: bool = False,
+        sort_rows: bool = False,
     ) -> "CSRGraph":
         """Build a CSR graph from an edge list.
 
@@ -72,6 +78,11 @@ class CSRGraph:
           num_nodes: total node count (default: max id + 1).
           symmetrize: if True, also insert every reverse edge (the
             reference's "to undirected" convention).
+          sort_rows: if True, sort neighbors ascending within each row and
+            set ``rows_sorted`` (enables hub extraction). Off by default:
+            row order feeds the walk RNG's neighbor picks, so sorting
+            changes sampled trajectories — existing fixtures/corpora keep
+            their recorded order; opt in for new (miss-bound) corpora.
         """
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
@@ -80,13 +91,17 @@ class CSRGraph:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         if num_nodes is None:
             num_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
-        order = np.argsort(src, kind="stable")
+        if sort_rows:
+            order = np.lexsort((dst, src))
+        else:
+            order = np.argsort(src, kind="stable")
         src_sorted = src[order]
         dst_sorted = dst[order]
         counts = np.bincount(src_sorted, minlength=num_nodes)
         indptr = np.zeros(num_nodes + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
-        return CSRGraph(indptr=indptr, indices=dst_sorted.astype(np.int32))
+        return CSRGraph(indptr=indptr, indices=dst_sorted.astype(np.int32),
+                        rows_sorted=sort_rows)
 
     def induced_subgraph(self, nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Induced subgraph over ``nodes``, relabeled to 0..len(nodes)-1.

@@ -51,6 +51,7 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,      # node_cap, e_cap
         ctypes.c_int32,                      # n_threads
         i32p, i32p, i32p, i32p, i32p, i64p,  # outputs
+        ctypes.c_int32,                      # flags (bit 0: rows sorted)
     ]
     lib.gcc_random_walk.argtypes = [
         i64p, i32p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
@@ -92,6 +93,7 @@ def _load():
         ctypes.c_int32,                      # threads
         i16p, i16p, i32p, i32p,              # q outputs
         i16p, i16p, i32p, i32p,              # k outputs
+        ctypes.c_int32,                      # flags (bit 0: rows sorted)
     ]
     _lib = lib
     return lib
@@ -149,6 +151,7 @@ def sample_wire_pairs(
         node_cap, e_cap, n_threads,
         q_src.reshape(-1), q_dst.reshape(-1), q_n, q_e,
         k_src.reshape(-1), k_dst.reshape(-1), k_n, k_e,
+        1 if getattr(g, "rows_sorted", False) else 0,
     )
     return out
 
@@ -253,6 +256,7 @@ def sample_subgraphs(
             expand, hops, rng_seed & (2**64 - 1), sample_ids, node_cap, e_cap,
             n_threads, nodes.reshape(-1), n, src.reshape(-1), dst.reshape(-1),
             e, e_full,
+            1 if getattr(g, "rows_sorted", False) else 0,
         )
     else:
         _sample_subgraphs_numpy(

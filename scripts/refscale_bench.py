@@ -111,6 +111,12 @@ def main():
         print(f"benching {name} ({corpus})...", flush=True)
         out[name] = bench_corpus(corpus, args.pairs, threads=args.threads)
         print(json.dumps(out[name], indent=1), flush=True)
+    # Production setting for miss-bound corpora (docs/PERF.md round-5
+    # verdict 3: the second core pays for itself at reference scale).
+    print("benching refscale_t2...", flush=True)
+    out["refscale_t2"] = bench_corpus(args.refscale_corpus, args.pairs,
+                                      threads=2)
+    print(json.dumps(out["refscale_t2"], indent=1), flush=True)
     out["refscale_over_small_ms_ratio"] = round(
         out["refscale"]["ms_per_batch_pair_32"]
         / out["small"]["ms_per_batch_pair_32"], 3)

@@ -237,3 +237,34 @@ def test_expand_compact_int32_packing():
     for a, b_ in zip(jax.tree_util.tree_leaves(p1),
                      jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_corpus_rows_sorted_roundtrip(tmp_path):
+    """The rows_sorted manifest flag must survive create/open/load — it
+    gates the native hub extraction, so dropping it silently disables
+    the miss-bound-scale win; setting it falsely would corrupt edges."""
+    import numpy as np
+
+    from gcc_tpu.graph.corpus import CorpusStore
+    from gcc_tpu.graph.csr import CSRGraph
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 100, 500)
+    dst = rng.integers(0, 100, 500)
+    keep = src != dst
+    g_sorted = CSRGraph.from_edges(src[keep], dst[keep], num_nodes=100,
+                                   symmetrize=True, sort_rows=True)
+    g_unsorted = CSRGraph.from_edges(src[keep], dst[keep], num_nodes=100,
+                                     symmetrize=True)
+
+    d1 = str(tmp_path / "sorted")
+    CorpusStore.create(d1, [g_sorted, g_sorted])
+    st = CorpusStore.open(d1)
+    assert st.manifest.get("rows_sorted") is True
+    assert st.load(0).rows_sorted
+
+    d2 = str(tmp_path / "mixed")
+    CorpusStore.create(d2, [g_sorted, g_unsorted])
+    st2 = CorpusStore.open(d2)
+    assert not st2.manifest.get("rows_sorted", False)
+    assert not st2.load(0).rows_sorted

@@ -302,3 +302,142 @@ def test_interleaved_walker_bit_identical(monkeypatch):
     ilv = run()
     for a, b in zip(base, ilv):
         np.testing.assert_array_equal(a, b)
+
+
+def hub_graph(n=5000, m=40000, seed=7):
+    """Heavy-tailed sorted-row graph with real hubs and multi-edges —
+    the shape that triggers the hub-row binary-search extraction."""
+    rng = np.random.default_rng(seed)
+    src = (n * rng.random(m) ** 3.0).astype(np.int64)  # strong hub bias
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # Multi-edges: the hub path must count duplicate runs, not unique hits.
+    src = np.concatenate([src, src[:2000]])
+    dst = np.concatenate([dst, dst[:2000]])
+    g = CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True,
+                            sort_rows=True)
+    assert g.rows_sorted
+    # The fixture must actually contain hub rows (deg >> any visit set).
+    deg = np.diff(g.indptr)
+    assert deg.max() > 1000
+    return g, rng
+
+
+def test_sort_rows_invariant():
+    g, _ = hub_graph()
+    for u in (0, 1, 17, 4999):
+        row = g.indices[g.indptr[u]:g.indptr[u + 1]]
+        assert np.all(np.diff(row) >= 0)
+
+
+def test_hub_extraction_bit_identical_wire_pairs(monkeypatch):
+    """GCC_TPU_HUB_MULT>0 on a sorted-row graph must emit byte-identical
+    wire pairs to the full row scan: on a sorted row both walk the
+    neighbors in ascending-id order with multi-edge runs adjacent, so
+    only the probe pattern — not the output — may change."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("native sampler required")
+    g, rng = hub_graph()
+    seeds = rng.integers(0, 5000, 64)
+    bud = np.full(64, 128, np.int64)
+
+    def run():
+        return native.sample_wire_pairs(
+            g, seeds, seeds, bud, bud, restart_prob=0.8, aug="rwr",
+            expand=5, hops=2, rng_seed=11,
+            sample_ids=np.arange(64, dtype=np.int64),
+            node_cap=256, e_cap=2048, n_threads=1)
+
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "0")
+    base = run()
+    # mult=1 routes every row with deg > |set| through the hub path —
+    # far past the production threshold, maximal coverage.
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "1")
+    hub = run()
+    for a, b in zip(base, hub):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_hub_extraction_bit_identical_subgraphs(monkeypatch):
+    """Same contract through the gcc_sample_subgraphs entry (generate /
+    downstream-task path), including the past-cap e_full count."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("native sampler required")
+    g, rng = hub_graph(seed=13)
+    seeds = rng.integers(0, 5000, 32)
+    bud = np.full(32, 128, np.int64)
+
+    def run():
+        return native.sample_subgraphs(
+            g, seeds, bud, restart_prob=0.8, rng_seed=5,
+            node_cap=256, e_cap=192)  # small cap: exercises truncation
+
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "0")
+    base = run()
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "1")
+    hub = run()
+    for name in ("nodes", "n", "src", "dst", "e", "e_full"):
+        np.testing.assert_array_equal(getattr(base, name),
+                                      getattr(hub, name), err_msg=name)
+    assert base.e_full.max() > 192  # truncation actually exercised
+
+
+def test_unsorted_graph_never_takes_hub_path(monkeypatch):
+    """rows_sorted=False graphs must ignore GCC_TPU_HUB_MULT entirely
+    (binary search on an unsorted row would be wrong)."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("native sampler required")
+    rng = np.random.default_rng(3)
+    n, m = 5000, 40000
+    src = (n * rng.random(m) ** 3.0).astype(np.int64)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    g = CSRGraph.from_edges(src[keep], dst[keep], num_nodes=n,
+                            symmetrize=True)  # unsorted rows
+    seeds = rng.integers(0, n, 32)
+    bud = np.full(32, 128, np.int64)
+
+    def run():
+        return native.sample_subgraphs(g, seeds, bud, restart_prob=0.8,
+                                       rng_seed=5, node_cap=256, e_cap=2048)
+
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "0")
+    base = run()
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "1")
+    same = run()
+    for name in ("nodes", "n", "src", "dst", "e", "e_full"):
+        np.testing.assert_array_equal(getattr(base, name),
+                                      getattr(same, name), err_msg=name)
+
+
+def test_hub_extraction_matches_numpy_oracle(monkeypatch):
+    """Hub-path induced edges equal the CSRGraph numpy oracle as an edge
+    multiset per subgraph (the oracle and the native path share the
+    behavior contract, not RNG streams — compare on the native path's
+    own visit sets)."""
+    from gcc_tpu.sampling import native
+
+    if not native.native_available():
+        pytest.skip("native sampler required")
+    monkeypatch.setenv("GCC_TPU_HUB_MULT", "1")
+    g, rng = hub_graph(seed=21)
+    seeds = rng.integers(0, 5000, 16)
+    bud = np.full(16, 128, np.int64)
+    out = native.sample_subgraphs(g, seeds, bud, restart_prob=0.8,
+                                  rng_seed=9, node_cap=256, e_cap=8192)
+    for i in range(16):
+        nodes = out.nodes[i, :out.n[i]]
+        osrc, odst = g.induced_subgraph(nodes)
+        got = np.stack([out.src[i, :out.e[i]], out.dst[i, :out.e[i]]])
+        want = np.stack([osrc, odst])
+        # Multisets of (src, dst) pairs must match exactly.
+        got_v = np.sort(got[0].astype(np.int64) * 100000 + got[1])
+        want_v = np.sort(want[0].astype(np.int64) * 100000 + want[1])
+        np.testing.assert_array_equal(got_v, want_v)
