@@ -89,6 +89,10 @@ struct Csr {
   // AND GCC_TPU_HUB_MULT > 0 (read once per entry call; 0 disables).
   bool rows_sorted = false;
   int64_t hub_mult = 0;
+  // Extraction word-prefetch distance in 16-neighbor chunks, from
+  // GCC_TPU_EXTRACT_PF (default 0 = off — measured neutral even at
+  // miss-bound corpus scale; see extract_pf_env).
+  int64_t pf_chunks = 0;
   inline int64_t degree(int64_t u) const { return indptr[u + 1] - indptr[u]; }
   inline int32_t random_neighbor(int64_t u, Rng& rng) const {
     const int64_t d = degree(u);
@@ -368,11 +372,29 @@ int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
       continue;
     }
     const __m512i lu_v = _mm512_set1_epi32(lu);
+    const int64_t pf = g.pf_chunks * 16;
     for (int64_t j = row_begin; j < row_end; j += 16) {
       const int64_t c = row_end - j;
       const __mmask16 lane =
           c >= 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << c) - 1u);
       const __m512i vidx = _mm512_maskz_loadu_epi32(lane, &g.indices[j]);
+      if (pf > 0 && j + pf < row_end) {
+        // Prefetch the words this loop will gather pf/16 chunks from
+        // now — at miss-bound corpus scale each gathered word is a
+        // DRAM miss the hardware prefetcher can't predict (scattered
+        // over the word array). ~20 cheap instructions per chunk.
+        const int64_t cp = row_end - (j + pf);
+        const __mmask16 lanep =
+            cp >= 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << cp) - 1u);
+        const __m512i vidxp =
+            _mm512_maskz_loadu_epi32(lanep, &g.indices[j + pf]);
+        alignas(64) int32_t pids[16];
+        _mm512_store_si512((__m512i*)pids, vidxp);
+        unsigned mm = (unsigned)lanep;
+        for (int t = 0; t < 16; ++t) {
+          if (mm & (1u << t)) __builtin_prefetch(&words[pids[t]], 0, 1);
+        }
+      }
       const __m512i w = _mm512_mask_i32gather_epi32(
           _mm512_setzero_si512(), lane, vidx, (const int*)words, 4);
       const __mmask16 hit = _mm512_mask_cmpeq_epi32_mask(
@@ -448,6 +470,19 @@ inline int64_t hub_mult_env() {
   return e ? std::atoll(e) : 64;
 }
 
+// Extraction prefetch distance (chunks): see Csr::pf_chunks. Default
+// OFF — measured NEUTRAL at reference corpus scale (paired A/B,
+// docs/PERF.md round-5: extract/walk 1.78 → 1.74, inside noise; the
+// vpgatherdd already keeps 16 loads in flight, so a software-prefetch
+// window hides nothing the hardware isn't overlapping). Kept as a knob
+// for wider-memory hosts.
+inline int64_t extract_pf_env(int64_t num_nodes) {
+  (void)num_nodes;
+  const char* e = std::getenv("GCC_TPU_EXTRACT_PF");
+  const int64_t v = e ? std::atoll(e) : 0;
+  return v > 0 ? v : 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -488,7 +523,7 @@ void gcc_sample_subgraphs(
     int32_t* out_e, int64_t* out_e_full,
     int32_t flags) {  // bit 0: CSR rows sorted (enables hub extraction)
   const Csr g{indptr, indices, num_nodes, (flags & 1) != 0,
-              (flags & 1) ? hub_mult_env() : 0};
+              (flags & 1) ? hub_mult_env() : 0, extract_pf_env(num_nodes)};
   if (n_threads < 1) n_threads = 1;
   if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 
@@ -569,7 +604,7 @@ void gcc_sample_wire_pairs(
     int16_t* k_src, int16_t* k_dst, int32_t* k_n, int32_t* k_e,
     int32_t flags) {  // bit 0: CSR rows sorted (enables hub extraction)
   const Csr g{indptr, indices, num_nodes, (flags & 1) != 0,
-              (flags & 1) ? hub_mult_env() : 0};
+              (flags & 1) ? hub_mult_env() : 0, extract_pf_env(num_nodes)};
   if (n_threads < 1) n_threads = 1;
   if (node_cap > 65535) node_cap = 65535;  // local ids live in 16 bits
 
