@@ -293,6 +293,38 @@ int64_t extract_row_hub(const Csr& g, int32_t lu, const HubScratch& hs,
   return count;
 }
 
+// Per-call hub-extraction gate shared by the scalar and AVX paths:
+// owns the row-degree threshold and the lazily-built sorted visit-set
+// scratch (thread-local storage, reset per extraction call) so the two
+// dispatch paths — pinned bit-identical by tests — cannot diverge on
+// the threshold rule or scratch lifecycle.
+struct HubGate {
+  int64_t hub_deg;
+  HubScratch& hs;
+  HubGate(const Csr& g, int64_t n)
+      : hub_deg((g.rows_sorted && g.hub_mult > 0 && n > 0)
+                    ? g.hub_mult * n
+                    : INT64_MAX),
+        hs(scratch()) {
+    hs.built = false;
+  }
+  static HubScratch& scratch() {
+    static thread_local HubScratch s;
+    return s;
+  }
+  // Takes the row through the hub path when it clears the threshold;
+  // returns false to fall through to the caller's scan.
+  inline bool take(const Csr& g, const VisitSet& set, int32_t lu,
+                   int64_t row_begin, int64_t row_end, int32_t* out_src,
+                   int32_t* out_dst, int64_t e_cap, int64_t& count) {
+    if (row_end - row_begin <= hub_deg) return false;
+    if (!hs.built) build_hub_scratch(set, hs);
+    count = extract_row_hub(g, lu, hs, row_begin, row_end, out_src, out_dst,
+                            e_cap, count);
+    return true;
+  }
+};
+
 // Extract induced edges among the visit set, relabeled to local ids.
 // Returns total edge count (may exceed cap; only cap edges are written).
 int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
@@ -300,11 +332,7 @@ int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
                              int64_t e_cap) {
   int64_t count = 0;
   const int32_t n = (int32_t)set.nodes.size();
-  const int64_t hub_deg = (g.rows_sorted && g.hub_mult > 0 && n > 0)
-                              ? g.hub_mult * (int64_t)n
-                              : INT64_MAX;
-  static thread_local HubScratch hs;
-  hs.built = false;
+  HubGate hub(g, n);
   for (int32_t lu = 0; lu < n; ++lu) {
     const int32_t u = set.nodes[lu];
     if (lu + 1 < n) {  // overlap the next node's CSR row fetch
@@ -312,10 +340,8 @@ int64_t induced_edges_scalar(const Csr& g, const VisitSet& set,
       __builtin_prefetch(&g.indptr[nxt], 0, 1);
     }
     const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
-    if (row_end - row_begin > hub_deg) {
-      if (!hs.built) build_hub_scratch(set, hs);
-      count = extract_row_hub(g, lu, hs, row_begin, row_end, out_src, out_dst,
-                              e_cap, count);
+    if (hub.take(g, set, lu, row_begin, row_end, out_src, out_dst, e_cap,
+                 count)) {
       continue;
     }
     // Two passes per row: prefetch the random word[] probes, then test —
@@ -351,11 +377,7 @@ int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
                              int64_t e_cap) {
   int64_t count = 0;
   const int32_t n = (int32_t)set.nodes.size();
-  const int64_t hub_deg = (g.rows_sorted && g.hub_mult > 0 && n > 0)
-                              ? g.hub_mult * (int64_t)n
-                              : INT64_MAX;
-  static thread_local HubScratch hs;
-  hs.built = false;
+  HubGate hub(g, n);
   const uint32_t* words = set.word.data();
   const __m512i epoch_v = _mm512_set1_epi32((int32_t)set.epoch);
   const __m512i low16 = _mm512_set1_epi32(0xFFFF);
@@ -365,10 +387,8 @@ int64_t induced_edges_avx512(const Csr& g, const VisitSet& set,
       __builtin_prefetch(&g.indptr[set.nodes[lu + 1]], 0, 1);
     }
     const int64_t row_begin = g.indptr[u], row_end = g.indptr[u + 1];
-    if (row_end - row_begin > hub_deg) {
-      if (!hs.built) build_hub_scratch(set, hs);
-      count = extract_row_hub(g, lu, hs, row_begin, row_end, out_src, out_dst,
-                              e_cap, count);
+    if (hub.take(g, set, lu, row_begin, row_end, out_src, out_dst, e_cap,
+                 count)) {
       continue;
     }
     const __m512i lu_v = _mm512_set1_epi32(lu);

@@ -26,12 +26,18 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            from gcc_tpu.sampling.build import build
+    # Always go through build(): it is mtime-cached (no-op when the .so
+    # is current) and rebuilds a STALE library. Loading a pre-existing
+    # .so built from older sources is silently wrong when the C ABI
+    # grows (ctypes would drop trailing args the old code never reads —
+    # e.g. the rows_sorted flags — and every feature behind them would
+    # no-op with tests passing vacuously).
+    try:
+        from gcc_tpu.sampling.build import build
 
-            build()
-        except Exception:
+        build()
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

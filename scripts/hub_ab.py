@@ -9,7 +9,13 @@ path instead of the full scan (csrc/sampler.cpp extract_row_hub).
 
 Arms: a threshold-multiplier sweep at 1 thread, then the winner and the
 scan baseline at 2 threads (the production setting for miss-bound
-corpora — docs/PERF.md round-5 refscale verdict 3).
+corpora — docs/PERF.md round-5 refscale verdict 3). The sweep is a
+COARSE single-trial frontier scan (the host shares 2 cores with the
+relay, so near-tied multipliers can swap order run-to-run); the
+recorded verdict comes from a paired interleaved A/B of the winner vs
+mult=0 with the walk phase as a drift control (docs/PERF.md). A warm
+pass runs first so the scan baseline doesn't absorb the corpus mmap's
+cold page-cache faults.
 
 Usage: timeout 7200 python scripts/hub_ab.py [--pairs 2048]
 """
@@ -60,6 +66,10 @@ def main():
         return row
 
     mults = [int(m) for m in args.mults.split(",")]
+    # Warm the corpus mmap (discarded): the first pass after a build
+    # pays cold page faults (walk 9 -> 47 us/sg observed — CLAUDE.md).
+    os.environ["GCC_TPU_HUB_MULT"] = "0"
+    bench_corpus(args.corpus, max(256, args.pairs // 8), threads=1)
     for m in mults:
         run(m, threads=1, pairs=args.pairs)
     best = min((m for m in mults),

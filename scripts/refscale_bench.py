@@ -97,8 +97,18 @@ def main():
     if not os.path.exists(os.path.join(args.small_corpus, "manifest.json")):
         synthetic_corpus(args.small_corpus, num_graphs=6,
                          nodes_per_graph=100_000, avg_degree=12, seed=0)
-    if not os.path.exists(os.path.join(args.refscale_corpus,
-                                       "manifest.json")):
+    manifest_path = os.path.join(args.refscale_corpus, "manifest.json")
+    rebuild = not os.path.exists(manifest_path)
+    if not rebuild:
+        with open(manifest_path) as f:
+            if not json.load(f).get("rows_sorted", False):
+                # A pre-round-5 (unsorted) corpus would silently bench the
+                # scan-only path — not comparable to the recorded
+                # sorted+hub numbers. Rebuild rather than mis-measure.
+                print("refscale corpus lacks rows_sorted — rebuilding "
+                      "sorted (pre-round-5 build found)", flush=True)
+                rebuild = True
+    if rebuild:
         print("building reference-scale corpus (~150M edges, minutes)...",
               flush=True)
         t0 = time.time()
@@ -113,10 +123,13 @@ def main():
         print(json.dumps(out[name], indent=1), flush=True)
     # Production setting for miss-bound corpora (docs/PERF.md round-5
     # verdict 3: the second core pays for itself at reference scale).
-    print("benching refscale_t2...", flush=True)
-    out["refscale_t2"] = bench_corpus(args.refscale_corpus, args.pairs,
-                                      threads=2)
-    print(json.dumps(out["refscale_t2"], indent=1), flush=True)
+    if args.threads != 2:
+        print("benching refscale_t2...", flush=True)
+        out["refscale_t2"] = bench_corpus(args.refscale_corpus, args.pairs,
+                                          threads=2)
+        print(json.dumps(out["refscale_t2"], indent=1), flush=True)
+    else:
+        out["refscale_t2"] = out["refscale"]
     out["refscale_over_small_ms_ratio"] = round(
         out["refscale"]["ms_per_batch_pair_32"]
         / out["small"]["ms_per_batch_pair_32"], 3)
